@@ -1,0 +1,132 @@
+"""ImageNet / ImageNet-C folder pipelines (PIL + threads).
+
+Mirrors the reference's torchvision ImageFolder usage
+(imagenet.py:482-505 train/val; :426-450 ImageNet-C per
+corruption×severity dirs) with a dependency-free scanner and a
+thread-pool decode/augment stage feeding NHWC float32 batches.
+"""
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from .augmix import augmix
+from .transforms import (center_crop_resize, imagenet_normalize,
+                         random_resized_crop)
+
+__all__ = ["ImageFolderData", "scan_image_folder", "ImageNetLoader",
+           "imagenet_c_dir"]
+
+_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+
+@dataclass
+class ImageFolderData:
+    samples: List[Tuple[str, int]]
+    classes: List[str]
+
+
+def scan_image_folder(root: str) -> ImageFolderData:
+    """class-per-subdir layout, classes sorted (torchvision semantics)."""
+    classes = sorted(d for d in os.listdir(root)
+                     if os.path.isdir(os.path.join(root, d)))
+    samples = []
+    for idx, c in enumerate(classes):
+        cdir = os.path.join(root, c)
+        for dirpath, _, files in sorted(os.walk(cdir)):
+            for fn in sorted(files):
+                if fn.lower().endswith(_EXTS):
+                    samples.append((os.path.join(dirpath, fn), idx))
+    return ImageFolderData(samples, classes)
+
+
+def imagenet_c_dir(corrupt_root: str, corruption: str,
+                   severity: int) -> str:
+    return os.path.join(corrupt_root, corruption, str(severity))
+
+
+def _decode(path: str) -> Image.Image:
+    with Image.open(path) as im:
+        return im.convert("RGB")
+
+
+class ImageNetLoader:
+    """mode: 'train' | 'train_augmix' | 'eval'.
+
+    train_augmix yields (3, B, 224, 224, 3): geometric crop/flip then
+    (clean, augmix, augmix) views, severity 1 (imagenet.py:487-488).
+    """
+
+    def __init__(self, data: ImageFolderData, batch_size: int,
+                 mode: str = "train", seed: int = 0, image_size: int = 224,
+                 workers: int = 8, aug_severity: float = 1,
+                 mixture_width: int = 3, mixture_depth: int = -1,
+                 all_ops: bool = False, drop_last: Optional[bool] = None):
+        self.data = data
+        self.batch_size = batch_size
+        self.mode = mode
+        self.seed = seed
+        self.image_size = image_size
+        self.workers = workers
+        self.aug_kw = dict(aug_severity=aug_severity,
+                           mixture_width=mixture_width,
+                           mixture_depth=mixture_depth, all_ops=all_ops)
+        self.drop_last = (mode != "eval") if drop_last is None else drop_last
+        self.epoch = 0
+
+    def __len__(self):
+        n, b = len(self.data.samples), self.batch_size
+        return n // b if self.drop_last else (n + b - 1) // b
+
+    def _one_train(self, rng, path):
+        img = random_resized_crop(rng, _decode(path), self.image_size)
+        arr = np.asarray(img, np.uint8)
+        if rng.rand() < 0.5:
+            arr = arr[:, ::-1]
+        return imagenet_normalize(arr)
+
+    def _one_train_augmix(self, rng, path):
+        img = random_resized_crop(rng, _decode(path), self.image_size)
+        arr = np.asarray(img, np.uint8)
+        if rng.rand() < 0.5:
+            arr = np.ascontiguousarray(arr[:, ::-1])
+        clean = imagenet_normalize(arr)
+        a1 = augmix(rng, arr, imagenet_normalize, self.image_size,
+                    **self.aug_kw)
+        a2 = augmix(rng, arr, imagenet_normalize, self.image_size,
+                    **self.aug_kw)
+        return clean, a1, a2
+
+    def _one_eval(self, _rng, path):
+        img = center_crop_resize(_decode(path), 256, self.image_size)
+        return imagenet_normalize(np.asarray(img, np.uint8))
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        rng = np.random.RandomState(self.seed + self.epoch * 1009)
+        self.epoch += 1
+        n = len(self.data.samples)
+        idx = rng.permutation(n) if self.mode != "eval" else np.arange(n)
+        b = self.batch_size
+        stop = (n // b) * b if self.drop_last else n
+        fn = {"train": self._one_train, "train_augmix": self._one_train_augmix,
+              "eval": self._one_eval}[self.mode]
+        with ThreadPoolExecutor(self.workers) as pool:
+            for s in range(0, stop, b):
+                sel = idx[s:s + b]
+                paths = [self.data.samples[i][0] for i in sel]
+                labels = np.asarray([self.data.samples[i][1] for i in sel],
+                                    np.int32)
+                rngs = [np.random.RandomState(rng.randint(2**31))
+                        for _ in sel]
+                results = list(pool.map(fn, rngs, paths))
+                if self.mode == "train_augmix":
+                    views = list(zip(*results))
+                    batch = np.stack([np.stack(v) for v in views])
+                else:
+                    batch = np.stack(results)
+                yield batch.astype(np.float32), labels

@@ -1,0 +1,55 @@
+"""Shared model-building helpers: torch-parity initializers and conv/linear
+constructors (NHWC, bias-free convs as in the reference models)."""
+from __future__ import annotations
+
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = [
+    "he_fanout_normal", "torch_linear_uniform", "kaiming_normal_fanin",
+    "conv_he_fanout", "linear_torch_default", "linear_kaiming_normal",
+]
+
+# He-normal with fan_out = k*k*out_channels: the explicit init used by every
+# reference model (e.g. models/cifar/wideresnet_cnsn.py:179-182).
+he_fanout_normal = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+# kaiming_normal_(fan_in, relu): used for the ResNeXt classifier
+# (models/cifar/resnext_cnsn.py:173).
+kaiming_normal_fanin = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+def torch_linear_uniform(key, shape, dtype=jnp.float32):
+    """torch.nn.Linear default weight init: kaiming_uniform(a=sqrt(5))
+    → U(±1/sqrt(fan_in)).  Flax kernels are (in, out); fan_in = shape[0]."""
+    bound = 1.0 / (shape[0] ** 0.5)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def conv_he_fanout(features: int, kernel: int, stride: int = 1,
+                   padding: Union[int, str, None] = None, groups: int = 1,
+                   name: str | None = None) -> nn.Conv:
+    """Bias-free conv with He(fan_out) init; default 'same-style' padding
+    k//2 matching the reference's padding=1 for 3x3 / 3 for 7x7."""
+    if padding is None:
+        padding = kernel // 2
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                   padding=padding, use_bias=False, feature_group_count=groups,
+                   kernel_init=he_fanout_normal, name=name)
+
+
+def linear_torch_default(features: int, name: str | None = None) -> nn.Dense:
+    """Dense with torch-default weight init and zero bias (the reference
+    zeroes classifier biases explicitly)."""
+    return nn.Dense(features, kernel_init=torch_linear_uniform,
+                    bias_init=nn.initializers.zeros, name=name)
+
+
+def linear_kaiming_normal(features: int, name: str | None = None) -> nn.Dense:
+    return nn.Dense(features, kernel_init=kaiming_normal_fanin,
+                    bias_init=nn.initializers.zeros, name=name)

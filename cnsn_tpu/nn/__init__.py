@@ -1,0 +1,7 @@
+from .norm import BatchNorm, BatchNorm1dStats, InstanceNorm, IBN, gelu_sig
+from .cnsn import CrossNorm, SelfNorm, CNSN
+
+__all__ = [
+    "BatchNorm", "BatchNorm1dStats", "InstanceNorm", "IBN", "gelu_sig",
+    "CrossNorm", "SelfNorm", "CNSN",
+]

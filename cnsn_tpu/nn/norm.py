@@ -1,0 +1,152 @@
+"""Normalization layers with PyTorch-parity semantics, NHWC, Flax linen.
+
+The reference relies on torch.nn.BatchNorm2d/BatchNorm1d/InstanceNorm2d
+defaults throughout.  Flax's stock BatchNorm differs from torch in one
+observable way (running_var is updated with the *biased* batch variance;
+torch uses the unbiased one — torch.nn.BatchNorm docs), so we implement
+batch norm explicitly to make imported torch checkpoints and long
+training runs numerically faithful.
+
+All layers take channels-last inputs and keep statistics in float32.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = ["BatchNorm", "BatchNorm1dStats", "InstanceNorm", "IBN", "gelu_sig"]
+
+
+def gelu_sig(x: jax.Array) -> jax.Array:
+    """Sigmoid-approximated GELU: x * sigmoid(1.702 x).
+
+    Matches the reference AllConvNet activation
+    (models/cifar/allconv_cnsn.py:12-15).
+    """
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class BatchNorm(nn.Module):
+    """torch.nn.BatchNorm2d-parity batch norm over an NHWC tensor.
+
+    Train: normalize with biased batch variance over (N, H, W); update
+    running stats with momentum 0.1, storing the *unbiased* variance.
+    Eval: normalize with running statistics.
+    """
+
+    features: int
+    eps: float = 1e-5
+    momentum: float = 0.1
+    axes: Sequence[int] = (0, 1, 2)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, use_running_average: bool) -> jax.Array:
+        dtype = x.dtype
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.features,), jnp.float32))
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            axes = tuple(self.axes)
+            n = 1
+            for a in axes:
+                n *= x.shape[a]
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+            if not self.is_initializing():
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+
+        shape = [1] * x.ndim
+        shape[-1] = self.features
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        out = (x.astype(jnp.float32) - mean.reshape(shape)) * inv.reshape(shape) \
+            + bias.reshape(shape)
+        return out.astype(dtype)
+
+
+class BatchNorm1dStats(nn.Module):
+    """torch.nn.BatchNorm1d over a (N, C) tensor of per-channel scalars.
+
+    Used inside SelfNorm, where the reference applies BatchNorm1d to the
+    (B, C, 1) squeezed statistics (models/cnsn.py:121,138).  Reduction
+    is over the batch axis only.
+    """
+
+    features: int
+    eps: float = 1e-5
+    momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, y: jax.Array, use_running_average: bool) -> jax.Array:
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.features,), jnp.float32))
+        yf = y.astype(jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            n = y.shape[0]
+            mean = jnp.mean(yf, axis=0)
+            var = jnp.mean(jnp.square(yf), axis=0) - jnp.square(mean)
+            if not self.is_initializing():
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        out = (yf - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return out.astype(y.dtype)
+
+
+class InstanceNorm(nn.Module):
+    """torch.nn.InstanceNorm2d(affine=True) over NHWC.
+
+    Per-(sample, channel) normalization over H*W with biased variance;
+    no running statistics (torch default track_running_stats=False).
+    Used by the IBN blocks (models/imagenet/resnet_ibn_cnsn.py:24-44).
+    """
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(xf), axis=(1, 2), keepdims=True) - jnp.square(mean)
+        out = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        out = out * scale.reshape(1, 1, 1, -1) + bias.reshape(1, 1, 1, -1)
+        return out.astype(x.dtype)
+
+
+class IBN(nn.Module):
+    """Instance-Batch Normalization: IN on the first half of the
+    channels, BN on the rest (IBN-Net; reference
+    models/imagenet/resnet_ibn_cnsn.py:24-44)."""
+
+    features: int
+    ratio: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, use_running_average: bool) -> jax.Array:
+        half = int(self.features * self.ratio)
+        x_in, x_bn = x[..., :half], x[..., half:]
+        out1 = InstanceNorm(half, name="IN")(x_in)
+        out2 = BatchNorm(self.features - half, name="BN")(x_bn, use_running_average)
+        return jnp.concatenate([out1, out2], axis=-1)

@@ -1,0 +1,87 @@
+"""Per-instance (per-sample, per-channel) spatial statistics.
+
+TPU-native equivalents of the reference's instance-statistics math
+(reference: models/cnsn.py:8-17 ``calc_ins_mean_std``).  All arrays are
+NHWC (channels-last), the natural TPU layout: the channel axis maps onto
+the 128-wide lane dimension, so per-(N, C) reductions over H*W vectorize
+cleanly on the VPU and XLA fuses the surrounding elementwise chains.
+
+Parity notes (checked by tests against torch oracles):
+  * variance is **unbiased** (ddof=1, Bessel correction) — the PyTorch
+    ``Tensor.var`` default used by the reference;
+  * ``eps`` is added to the *variance* before the square root;
+  * statistics are computed in float32 even for bf16 inputs.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "instance_mean_std",
+    "masked_instance_mean_std",
+    "region_mask",
+]
+
+
+def instance_mean_std(x: jax.Array, eps: float = 1e-5, ddof: int = 1):
+    """Spatial mean/std per (sample, channel) of an NHWC tensor.
+
+    Returns ``(mean, std)`` each shaped (N, 1, 1, C) for direct
+    broadcasting against ``x``.
+    """
+    if x.ndim != 4:
+        raise ValueError(f"expected NHWC input, got shape {x.shape}")
+    xf = x.astype(jnp.float32)
+    n = x.shape[1] * x.shape[2]
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    # E[x^2] - E[x]^2, rescaled for the requested ddof.
+    var = jnp.mean(jnp.square(xf), axis=(1, 2), keepdims=True) - jnp.square(mean)
+    if ddof:
+        var = var * (n / max(n - ddof, 1))
+    std = jnp.sqrt(var + eps)
+    return mean.astype(x.dtype), std.astype(x.dtype)
+
+
+def region_mask(h: int, w: int, h1, h2, w1, w2, dtype=jnp.float32) -> jax.Array:
+    """(1, H, W, 1) mask that is 1 inside rows [h1, h2) and cols [w1, w2).
+
+    Bounds may be traced scalars — the mask is built from iota
+    comparisons, so the shape stays static under jit (the TPU-friendly
+    replacement for the reference's dynamic slicing at
+    models/cnsn.py:66,77).
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, h, w, 1), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, h, w, 1), 2)
+    inside = (rows >= h1) & (rows < h2) & (cols >= w1) & (cols < w2)
+    return inside.astype(dtype)
+
+
+def masked_instance_mean_std(
+    x: jax.Array,
+    mask: jax.Array,
+    eps: float = 1e-5,
+    ddof: int = 1,
+):
+    """Mean/std per (N, C) over the spatial positions where ``mask`` is 1.
+
+    ``mask`` broadcasts against (N, H, W, 1).  Mathematically identical
+    to cropping ``x`` to the masked region and calling
+    :func:`instance_mean_std` — but with static shapes, which is what
+    lets the whole CrossNorm train step stay inside one XLA program
+    (reference computes stats of a dynamic crop at models/cnsn.py:64-66).
+    """
+    if x.ndim != 4:
+        raise ValueError(f"expected NHWC input, got shape {x.shape}")
+    xf = x.astype(jnp.float32)
+    m = jnp.broadcast_to(mask.astype(jnp.float32), (x.shape[0], x.shape[1], x.shape[2], 1))
+    n = jnp.sum(m, axis=(1, 2), keepdims=True)
+    s1 = jnp.sum(xf * m, axis=(1, 2), keepdims=True)
+    s2 = jnp.sum(jnp.square(xf) * m, axis=(1, 2), keepdims=True)
+    mean = s1 / n
+    var = s2 / n - jnp.square(mean)
+    if ddof:
+        denom = jnp.maximum(n - ddof, 1.0)
+        var = var * (n / denom)
+    std = jnp.sqrt(var + eps)
+    return mean.astype(x.dtype), std.astype(x.dtype)

@@ -1,0 +1,47 @@
+"""Learning-rate schedules, matching the reference drivers.
+
+  * per-step cosine annealing to an absolute floor of 1e-6
+    (cifar.py:87-90,408-413);
+  * ImageNet step decay ÷10 every epochs//3 with linear batch-size lr
+    scaling (imagenet.py:92-104);
+  * polynomial decay for segmentation (segmentation/util/util.py poly).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["cosine_lr", "imagenet_step_lr", "poly_lr"]
+
+
+def cosine_lr(base_lr: float, total_steps: int, lr_min: float = 1e-6):
+    """lr(step) = lr_min + (base−lr_min)/... — exactly the reference's
+    LambdaLR(get_lr(step, total, 1, 1e-6/base)) · base."""
+
+    def schedule(step):
+        frac = 1e-6 / base_lr
+        mult = frac + (1.0 - frac) * 0.5 * (1.0 + jnp.cos(
+            step / total_steps * jnp.pi))
+        return base_lr * mult
+
+    return schedule
+
+
+def imagenet_step_lr(base_lr: float, epochs: int, batch_size: int,
+                     steps_per_epoch: int):
+    """÷10 at epochs//3 and 2·epochs//3; lr linearly scaled by batch/256."""
+    b = batch_size / 256.0
+    k = max(epochs // 3, 1)
+
+    def schedule(step):
+        epoch = step // steps_per_epoch
+        m = jnp.where(epoch < k, 1.0, jnp.where(epoch < 2 * k, 0.1, 0.01))
+        return base_lr * m * b
+
+    return schedule
+
+
+def poly_lr(base_lr: float, max_iter: int, power: float = 0.9):
+    def schedule(step):
+        return base_lr * (1.0 - step / max_iter) ** power
+
+    return schedule

@@ -1,0 +1,150 @@
+"""Layer-level parity tests: BatchNorm / InstanceNorm / SelfNorm vs torch."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn as tnn
+
+from cnsn_tpu.nn import (
+    BatchNorm, BatchNorm1dStats, CNSN, CrossNorm, IBN, InstanceNorm, SelfNorm,
+    gelu_sig,
+)
+
+
+def nhwc(x):
+    return np.transpose(x, (0, 2, 3, 1))
+
+
+class TestBatchNorm:
+    def test_train_and_eval_match_torch(self):
+        rng = np.random.RandomState(0)
+        x = rng.randn(6, 5, 4, 3).astype(np.float32)  # NCHW
+        tbn = tnn.BatchNorm2d(5)
+        tbn.train()
+        t_out1 = tbn(torch.from_numpy(x)).detach().numpy()
+        t_out2 = tbn(torch.from_numpy(x * 2)).detach().numpy()
+        tbn.eval()
+        t_eval = tbn(torch.from_numpy(x)).detach().numpy()
+
+        bn = BatchNorm(5)
+        variables = bn.init(jax.random.key(0), jnp.asarray(nhwc(x)), False)
+        j_out1, mut = bn.apply(variables, jnp.asarray(nhwc(x)), False,
+                               mutable=["batch_stats"])
+        variables = {**variables, **mut}
+        j_out2, mut = bn.apply(variables, jnp.asarray(nhwc(x * 2)), False,
+                               mutable=["batch_stats"])
+        variables = {**variables, **mut}
+        j_eval = bn.apply(variables, jnp.asarray(nhwc(x)), True)
+
+        np.testing.assert_allclose(nhwc(t_out1), np.asarray(j_out1), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(nhwc(t_out2), np.asarray(j_out2), rtol=1e-4, atol=1e-5)
+        # Running stats (incl. unbiased-var update) must match for eval parity.
+        np.testing.assert_allclose(
+            tbn.running_var.numpy(),
+            np.asarray(variables["batch_stats"]["var"]), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(nhwc(t_eval), np.asarray(j_eval), rtol=1e-4, atol=1e-5)
+
+
+class TestInstanceNorm:
+    def test_matches_torch_affine(self):
+        rng = np.random.RandomState(1)
+        x = rng.randn(3, 4, 6, 5).astype(np.float32)
+        tin = tnn.InstanceNorm2d(4, affine=True)
+        with torch.no_grad():
+            tin.weight.fill_(1.3)
+            tin.bias.fill_(-0.2)
+        t_out = tin(torch.from_numpy(x)).detach().numpy()
+
+        mod = InstanceNorm(4)
+        v = mod.init(jax.random.key(0), jnp.asarray(nhwc(x)))
+        v = jax.tree.map(lambda a: a, v)
+        v = {"params": {"scale": jnp.full((4,), 1.3), "bias": jnp.full((4,), -0.2)}}
+        j_out = mod.apply(v, jnp.asarray(nhwc(x)))
+        np.testing.assert_allclose(nhwc(t_out), np.asarray(j_out), rtol=1e-4, atol=1e-5)
+
+
+class TestSelfNorm:
+    def _torch_selfnorm(self, c):
+        class TorchSelfNorm(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.g_fc = tnn.Conv1d(c, c, kernel_size=2, bias=False, groups=c)
+                self.g_bn = tnn.BatchNorm1d(c)
+
+            def forward(self, x):
+                n, ch = x.shape[:2]
+                var = x.reshape(n, ch, -1).var(dim=2) + 1e-12
+                std = var.sqrt().reshape(n, ch, 1, 1)
+                mean = x.reshape(n, ch, -1).mean(dim=2).reshape(n, ch, 1, 1)
+                stats = torch.cat((mean.squeeze(3), std.squeeze(3)), -1)
+                g = torch.sigmoid(self.g_bn(self.g_fc(stats))).reshape(n, ch, 1, 1)
+                return x * g
+
+        return TorchSelfNorm()
+
+    def test_matches_torch_train_and_eval(self):
+        c = 5
+        rng = np.random.RandomState(2)
+        x = rng.randn(6, c, 7, 8).astype(np.float32)
+        tmod = self._torch_selfnorm(c)
+        w = rng.randn(c, 1, 2).astype(np.float32) * 0.3
+        with torch.no_grad():
+            tmod.g_fc.weight.copy_(torch.from_numpy(w))
+        tmod.train()
+        t_train = tmod(torch.from_numpy(x)).detach().numpy()
+        tmod.eval()
+        t_eval = tmod(torch.from_numpy(x)).detach().numpy()
+
+        mod = SelfNorm(c)
+        v = mod.init(jax.random.key(0), jnp.asarray(nhwc(x)), False)
+        v["params"]["g_fc"] = jnp.asarray(w[:, 0, :])
+        j_train, mut = mod.apply(v, jnp.asarray(nhwc(x)), False,
+                                 mutable=["batch_stats"])
+        v2 = {**v, **mut}
+        j_eval = mod.apply(v2, jnp.asarray(nhwc(x)), True)
+
+        np.testing.assert_allclose(nhwc(t_train), np.asarray(j_train), rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(nhwc(t_eval), np.asarray(j_eval), rtol=1e-3, atol=1e-4)
+
+
+class TestCrossNormModule:
+    def test_inactive_is_identity_and_active_changes(self):
+        x = jnp.asarray(np.random.RandomState(3).randn(4, 8, 8, 3).astype(np.float32))
+        mod = CrossNorm(crop="neither", beta=1.0)
+        v = mod.init({"params": jax.random.key(0), "crossnorm": jax.random.key(1)},
+                     x, jnp.asarray(False))
+        out_off = mod.apply(v, x, jnp.asarray(False),
+                            rngs={"crossnorm": jax.random.key(2)})
+        np.testing.assert_array_equal(np.asarray(out_off), np.asarray(x))
+        out_on = mod.apply(v, x, jnp.asarray(True),
+                           rngs={"crossnorm": jax.random.key(2)})
+        assert not np.allclose(np.asarray(out_on), np.asarray(x))
+
+    def test_none_active_no_rng_needed(self):
+        x = jnp.ones((2, 4, 4, 3))
+        mod = CrossNorm()
+        v = mod.init(jax.random.key(0), x, None)
+        out = mod.apply(v, x, None)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+
+class TestGELU:
+    def test_sigmoid_gelu(self):
+        x = np.linspace(-3, 3, 31).astype(np.float32)
+        expect = x * (1.0 / (1.0 + np.exp(-1.702 * x)))
+        np.testing.assert_allclose(np.asarray(gelu_sig(jnp.asarray(x))), expect,
+                                   rtol=1e-5, atol=1e-6)
+
+
+class TestIBN:
+    def test_split_semantics(self):
+        rng = np.random.RandomState(4)
+        x = rng.randn(4, 8, 6, 6).astype(np.float32)  # NCHW, C=8
+        mod = IBN(8)
+        v = mod.init(jax.random.key(0), jnp.asarray(nhwc(x)), False)
+        out, _ = mod.apply(v, jnp.asarray(nhwc(x)), False, mutable=["batch_stats"])
+        assert out.shape == nhwc(x).shape
+        # First half behaves like IN: per-sample/channel mean ~ 0.
+        first = np.asarray(out)[..., :4]
+        np.testing.assert_allclose(first.mean(axis=(1, 2)), 0.0, atol=1e-4)

@@ -1,0 +1,79 @@
+"""Multi-device tests on the virtual 8-CPU mesh: sharded train step
+equals single-device math for the deterministic parts, and the CN
+pairing stays shard-local."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from cnsn_tpu.models import build_model
+from cnsn_tpu.parallel import DataParallel, make_mesh
+from cnsn_tpu.train import StepFns, cosine_lr, create_train_state, make_sgd
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, jax.devices()
+    return make_mesh(8)
+
+
+def test_mesh_shape(mesh8):
+    assert mesh8.shape["data"] == 8
+
+
+def test_sharded_plain_step_matches_single(mesh8):
+    model = build_model("allconv", num_classes=10, pos="1", cnsn_type="cn",
+                        crop="neither", beta=1.0, num_groups=8)
+    tx = make_sgd(cosine_lr(0.1, 100))
+    state = create_train_state(model, jax.random.key(0), (8, 32, 32, 3), tx)
+    steps = StepFns(model, active_num=1)
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(16, 32, 32, 3).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 10, 16))
+    key = jax.random.key(1)
+
+    # single-device reference
+    s1, m1 = steps.plain(state, images, labels, key)
+
+    # sharded
+    dp = DataParallel(mesh8)
+    state_r = dp.replicate(state)
+    im_s, lb_s = dp.shard_inputs(images, labels)
+    s2, m2 = steps.plain(state_r, im_s, lb_s, key)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    # sharded reductions reorder fp sums; allow reduction-order noise
+    d = jax.tree.map(lambda a, b: float(np.abs(np.asarray(a - b)).max()),
+                     s1.params, s2.params)
+    assert max(jax.tree.leaves(d)) < 3e-4
+
+
+def test_sharded_cn_step_runs_and_updates(mesh8):
+    model = build_model("allconv", num_classes=10, pos="1", cnsn_type="cn",
+                        crop="neither", beta=1.0, num_groups=8)
+    tx = make_sgd(cosine_lr(0.1, 100))
+    state = create_train_state(model, jax.random.key(0), (8, 32, 32, 3), tx)
+    steps = StepFns(model, active_num=1)
+
+    dp = DataParallel(mesh8)
+    rng = np.random.RandomState(1)
+    images = jnp.asarray(rng.randn(16, 32, 32, 3).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 10, 16))
+    state_r = dp.replicate(state)
+    im_s, lb_s = dp.shard_inputs(images, labels)
+
+    new_state, metrics = steps.cn(state_r, im_s, lb_s, jax.random.key(2))
+    assert np.isfinite(float(metrics["loss"]))
+    d = jax.tree.map(lambda a, b: float(np.abs(np.asarray(a - b)).max()),
+                     state.params, new_state.params)
+    assert max(jax.tree.leaves(d)) > 0
+
+
+def test_grouped_perm_matches_dp_semantics():
+    from cnsn_tpu.ops import grouped_permutation
+    perm = np.asarray(grouped_permutation(jax.random.key(0), 64, 8))
+    for g in range(8):
+        blk = perm[g * 8:(g + 1) * 8]
+        assert set(blk.tolist()) == set(range(g * 8, (g + 1) * 8))
