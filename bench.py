@@ -29,8 +29,16 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     warmup = int(os.environ.get("BENCH_WARMUP", "5"))
 
-    model = build_model("resnet50", num_classes=1000, pos="residual",
-                        cnsn_type="cnsn", crop="neither", beta=1.0)
+    import jax.numpy as jnp
+    dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[
+        os.environ.get("BENCH_DTYPE", "bf16")]
+    cnsn_type = os.environ.get("BENCH_CNSN", "cnsn")
+    if cnsn_type == "none":
+        model = build_model("resnet50", num_classes=1000, dtype=dtype)
+    else:
+        model = build_model("resnet50", num_classes=1000, pos="residual",
+                            cnsn_type=cnsn_type, crop="neither", beta=1.0,
+                            dtype=dtype)
     tx = make_sgd(cosine_lr(0.1, 10_000), weight_decay=1e-4, nesterov=False)
     state = create_train_state(model, jax.random.key(0),
                                (batch, size, size, 3), tx)
@@ -41,15 +49,19 @@ def main():
     labels = jnp.asarray(rng.randint(0, 1000, batch))
 
     # steady-state CN training step (the flagship regime)
+    step_fn = (steps.plain if os.environ.get("BENCH_REGIME") == "plain"
+               or model.cn_num == 0 else steps.cn)
     for i in range(warmup):
-        state, metrics = steps.cn(state, images, labels, jax.random.key(i))
-    jax.block_until_ready(state.params)
+        state, metrics = step_fn(state, images, labels, jax.random.key(i))
+    # force full completion with a host transfer (block_until_ready can be
+    # a no-op on tunneled device buffers)
+    float(metrics["loss"])
 
     t0 = time.perf_counter()
     for i in range(iters):
-        state, metrics = steps.cn(state, images, labels,
-                                  jax.random.key(100 + i))
-    jax.block_until_ready(state.params)
+        state, metrics = step_fn(state, images, labels,
+                                 jax.random.key(100 + i))
+    float(metrics["loss"])
     dt = time.perf_counter() - t0
 
     img_per_sec = batch * iters / dt

@@ -10,7 +10,7 @@ odd k=1 convs **with padding=1** (spatial dims grow by 2); 'A' is an
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +32,7 @@ class AllConvNet(nn.Module):
     beta: float = 1.0
     cnsn_type: str = "cn"
     num_groups: int = 1
+    dtype: Any = None  # compute dtype (bf16 fast path); params stay fp32
 
     @property
     def cn_num(self) -> int:
@@ -71,6 +72,7 @@ class AllConvNet(nn.Module):
             x = nn.Conv(out_ch, (kernel, kernel), strides=(1, 1),
                         padding=((padding, padding), (padding, padding)),
                         use_bias=True, kernel_init=he_fanout_normal,
+                        dtype=self.dtype, param_dtype=jnp.float32,
                         name=f"conv_{li}")(x)
             if pos == 1:
                 x = cnsn(x, active, ura)
@@ -83,4 +85,4 @@ class AllConvNet(nn.Module):
             in_ch = out_ch
 
         x = x.reshape(x.shape[0], -1)
-        return linear_torch_default(self.num_classes, name="classifier")(x)
+        return linear_torch_default(self.num_classes, dtype=self.dtype, name="classifier")(x)

@@ -31,25 +31,33 @@ def torch_linear_uniform(key, shape, dtype=jnp.float32):
 
 def conv_he_fanout(features: int, kernel: int, stride: int = 1,
                    padding: Union[int, str, None] = None, groups: int = 1,
-                   name: str | None = None) -> nn.Conv:
+                   dtype=None, name: str | None = None) -> nn.Conv:
     """Bias-free conv with He(fan_out) init; default 'same-style' padding
-    k//2 matching the reference's padding=1 for 3x3 / 3 for 7x7."""
+    k//2 matching the reference's padding=1 for 3x3 / 3 for 7x7.
+
+    ``dtype`` is the compute dtype (bf16 for the TPU fast path); params
+    stay float32."""
     if padding is None:
         padding = kernel // 2
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
     return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
                    padding=padding, use_bias=False, feature_group_count=groups,
-                   kernel_init=he_fanout_normal, name=name)
+                   kernel_init=he_fanout_normal, dtype=dtype,
+                   param_dtype=jnp.float32, name=name)
 
 
-def linear_torch_default(features: int, name: str | None = None) -> nn.Dense:
+def linear_torch_default(features: int, dtype=None,
+                         name: str | None = None) -> nn.Dense:
     """Dense with torch-default weight init and zero bias (the reference
     zeroes classifier biases explicitly)."""
     return nn.Dense(features, kernel_init=torch_linear_uniform,
-                    bias_init=nn.initializers.zeros, name=name)
+                    bias_init=nn.initializers.zeros, dtype=dtype,
+                    param_dtype=jnp.float32, name=name)
 
 
-def linear_kaiming_normal(features: int, name: str | None = None) -> nn.Dense:
+def linear_kaiming_normal(features: int, dtype=None,
+                          name: str | None = None) -> nn.Dense:
     return nn.Dense(features, kernel_init=kaiming_normal_fanin,
-                    bias_init=nn.initializers.zeros, name=name)
+                    bias_init=nn.initializers.zeros, dtype=dtype,
+                    param_dtype=jnp.float32, name=name)

@@ -9,7 +9,7 @@ Parity with the reference DenseNet
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +31,7 @@ class DenseLayer(nn.Module):
     crop: str
     beta: float
     num_groups: int = 1
+    dtype: Any = None  # compute dtype (bf16 fast path); params stay fp32
 
     @nn.compact
     def __call__(self, x, train: bool, active: Optional[jax.Array]):
@@ -42,7 +43,7 @@ class DenseLayer(nn.Module):
         if self.pos == "conv1_pre":
             x = cnsn(x, active, ura)
         out = nn.relu(BatchNorm(self.n_channels, name="bn1")(x, ura))
-        out = conv_he_fanout(self.growth_rate, 3, 1, name="conv1")(out)
+        out = conv_he_fanout(self.growth_rate, 3, 1, dtype=self.dtype, name="conv1")(out)
         if self.pos == "conv1_post":
             out = cnsn(out, active, ura)
         return jnp.concatenate([x, out], axis=-1)
@@ -58,6 +59,7 @@ class BottleneckLayer(nn.Module):
     crop: str
     beta: float
     num_groups: int = 1
+    dtype: Any = None  # compute dtype (bf16 fast path); params stay fp32
 
     @nn.compact
     def __call__(self, x, train: bool, active: Optional[jax.Array]):
@@ -71,11 +73,11 @@ class BottleneckLayer(nn.Module):
         if self.pos == "conv1_pre":
             x = cnsn(x, active, ura)
         out = nn.relu(BatchNorm(self.n_channels, name="bn1")(x, ura))
-        out = conv_he_fanout(inter, 1, 1, padding=0, name="conv1")(out)
+        out = conv_he_fanout(inter, 1, 1, padding=0, dtype=self.dtype, name="conv1")(out)
         if self.pos == "conv1_post":
             out = cnsn(out, active, ura)
         out = nn.relu(BatchNorm(inter, name="bn2")(out, ura))
-        out = conv_he_fanout(self.growth_rate, 3, 1, name="conv2")(out)
+        out = conv_he_fanout(self.growth_rate, 3, 1, dtype=self.dtype, name="conv2")(out)
         if self.pos == "conv2_post":
             out = cnsn(out, active, ura)
         return jnp.concatenate([x, out], axis=-1)
@@ -92,6 +94,7 @@ class DenseNet(nn.Module):
     beta: float = 1.0
     cnsn_type: str = "cnsn"
     num_groups: int = 1
+    dtype: Any = None  # compute dtype (bf16 fast path); params stay fp32
 
     @property
     def layers_per_block(self) -> int:
@@ -109,7 +112,7 @@ class DenseNet(nn.Module):
         layer_cls = BottleneckLayer if self.bottleneck else DenseLayer
 
         n_ch = 2 * self.growth_rate
-        x = conv_he_fanout(n_ch, 3, 1, name="conv1")(x)
+        x = conv_he_fanout(n_ch, 3, 1, dtype=self.dtype, name="conv1")(x)
         site = 0
         for b in range(3):
             for i in range(nd):
@@ -117,6 +120,7 @@ class DenseNet(nn.Module):
                 x = layer_cls(n_ch, self.growth_rate, pos=self.pos,
                               cnsn_type=self.cnsn_type, crop=self.crop,
                               beta=self.beta, num_groups=self.num_groups,
+                              dtype=self.dtype,
                               name=f"dense{b + 1}_{i}")(x, train, active)
                 n_ch += self.growth_rate
                 site += 1
@@ -124,13 +128,13 @@ class DenseNet(nn.Module):
                 n_out = int(math.floor(n_ch * self.reduction))
                 x = nn.relu(BatchNorm(n_ch, name=f"trans{b + 1}_bn")(x, ura))
                 x = conv_he_fanout(n_out, 1, 1, padding=0,
-                                   name=f"trans{b + 1}_conv")(x)
+                                   dtype=self.dtype, name=f"trans{b + 1}_conv")(x)
                 x = nn.avg_pool(x, (2, 2), strides=(2, 2))
                 n_ch = n_out
 
         x = nn.relu(BatchNorm(n_ch, name="bn1")(x, ura))
         x = jnp.mean(x, axis=(1, 2))  # 8x8 avg pool on 8x8 map
-        return linear_torch_default(self.num_classes, name="fc")(x)
+        return linear_torch_default(self.num_classes, dtype=self.dtype, name="fc")(x)
 
 
 def densenet(num_classes: int = 10, **kw) -> DenseNet:

@@ -9,7 +9,7 @@ sites; adaptive global average pool head.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +34,7 @@ class Bottleneck(nn.Module):
     groups: int = 1
     base_width: int = 64
     num_groups: int = 1
+    dtype: Any = None  # compute dtype (bf16 fast path); params stay fp32
     expansion: int = 4
 
     @nn.compact
@@ -55,17 +56,17 @@ class Bottleneck(nn.Module):
         if cnsn is not None and self.pos == "pre":
             out = cnsn(out, active, ura)
 
-        out = conv_he_fanout(width, 1, 1, padding=0, name="conv1")(out)
+        out = conv_he_fanout(width, 1, 1, padding=0, dtype=self.dtype, name="conv1")(out)
         out = nn.relu(BatchNorm(width, name="bn1")(out, ura))
         out = conv_he_fanout(width, 3, self.stride, groups=self.groups,
-                             name="conv2")(out)
+                             dtype=self.dtype, name="conv2")(out)
         out = nn.relu(BatchNorm(width, name="bn2")(out, ura))
-        out = conv_he_fanout(out_ch, 1, 1, padding=0, name="conv3")(out)
+        out = conv_he_fanout(out_ch, 1, 1, padding=0, dtype=self.dtype, name="conv3")(out)
         out = BatchNorm(out_ch, name="bn3")(out, ura)
 
         if self.has_downsample:
             identity = conv_he_fanout(out_ch, 1, self.stride, padding=0,
-                                      name="downsample_conv")(x)
+                                      dtype=self.dtype, name="downsample_conv")(x)
             identity = BatchNorm(out_ch, name="downsample_bn")(identity, ura)
 
         if cnsn is not None:
@@ -90,6 +91,8 @@ class ResNet(nn.Module):
     beta: float = 1.0
     cnsn_type: Optional[str] = None
     num_groups: int = 1
+    dtype: Any = None  # compute dtype (bf16 fast path); params stay fp32
+    remat: bool = False  # rematerialize each bottleneck (memory for FLOPs)
 
     @property
     def cn_num(self) -> int:
@@ -101,10 +104,14 @@ class ResNet(nn.Module):
     def __call__(self, x, train: bool = False,
                  cn_active: Optional[jax.Array] = None):
         ura = not train
-        x = conv_he_fanout(64, 7, 2, padding=3, name="conv1")(x)
+        x = conv_he_fanout(64, 7, 2, padding=3, dtype=self.dtype, name="conv1")(x)
         x = nn.relu(BatchNorm(64, name="bn1")(x, ura))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
+        # static_argnums: (x, train, active) → `train` (python bool) is
+        # arg index 2 (flax counts self as 0)
+        block_cls = (nn.remat(Bottleneck, static_argnums=(2,))
+                     if self.remat else Bottleneck)
         inplanes = 64
         site = 0
         for s, (planes, blocks) in enumerate(zip((64, 128, 256, 512), self.layers)):
@@ -113,18 +120,18 @@ class ResNet(nn.Module):
                 blk_stride = stride if i == 0 else 1
                 has_ds = (i == 0) and (blk_stride != 1 or inplanes != planes * 4)
                 active = None if cn_active is None else cn_active[site]
-                x = Bottleneck(
+                x = block_cls(
                     inplanes, planes, pos=self.pos, cnsn_type=self.cnsn_type,
                     crop=self.crop, beta=self.beta, stride=blk_stride,
                     has_downsample=has_ds, groups=self.groups,
                     base_width=self.width_per_group,
-                    num_groups=self.num_groups,
+                    num_groups=self.num_groups, dtype=self.dtype,
                     name=f"layer{s + 1}_{i}")(x, train, active)
                 inplanes = planes * 4
                 site += 1
 
         x = jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d((1,1))
-        return linear_torch_default(self.num_classes, name="fc")(x)
+        return linear_torch_default(self.num_classes, dtype=self.dtype, name="fc")(x)
 
 
 def resnet50(num_classes: int = 1000, **kw) -> ResNet:

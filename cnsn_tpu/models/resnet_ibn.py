@@ -11,7 +11,7 @@ Parity with the reference IBN ResNet
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +35,7 @@ class BottleneckIBN(nn.Module):
     stride: int = 1
     has_downsample: bool = False
     num_groups: int = 1
+    dtype: Any = None  # compute dtype (bf16 fast path); params stay fp32
     expansion: int = 4
 
     @nn.compact
@@ -55,20 +56,20 @@ class BottleneckIBN(nn.Module):
         if cnsn is not None and self.pos == "pre":
             x = cnsn(x, active, ura)
 
-        out = conv_he_fanout(self.planes, 1, 1, padding=0, name="conv1")(x)
+        out = conv_he_fanout(self.planes, 1, 1, padding=0, dtype=self.dtype, name="conv1")(x)
         if self.ibn == "a":
             out = IBN(self.planes, name="bn1")(out, ura)
         else:
             out = BatchNorm(self.planes, name="bn1")(out, ura)
         out = nn.relu(out)
-        out = conv_he_fanout(self.planes, 3, self.stride, name="conv2")(out)
+        out = conv_he_fanout(self.planes, 3, self.stride, dtype=self.dtype, name="conv2")(out)
         out = nn.relu(BatchNorm(self.planes, name="bn2")(out, ura))
-        out = conv_he_fanout(out_ch, 1, 1, padding=0, name="conv3")(out)
+        out = conv_he_fanout(out_ch, 1, 1, padding=0, dtype=self.dtype, name="conv3")(out)
         out = BatchNorm(out_ch, name="bn3")(out, ura)
 
         if self.has_downsample:
             identity = conv_he_fanout(out_ch, 1, self.stride, padding=0,
-                                      name="downsample_conv")(x)
+                                      dtype=self.dtype, name="downsample_conv")(x)
             identity = BatchNorm(out_ch, name="downsample_bn")(identity, ura)
 
         if cnsn is not None:
@@ -94,6 +95,8 @@ class ResNetIBN(nn.Module):
     beta: float = 1.0
     cnsn_type: Optional[str] = None
     num_groups: int = 1
+    dtype: Any = None  # compute dtype (bf16 fast path); params stay fp32
+    remat: bool = False  # rematerialize each bottleneck (memory for FLOPs)
 
     def _block_ibn(self, stage_ibn: Optional[str], i: int, blocks: int):
         """Per-block ibn flag: 'b' stages place IN only on the last block
@@ -122,7 +125,7 @@ class ResNetIBN(nn.Module):
     def __call__(self, x, train: bool = False,
                  cn_active: Optional[jax.Array] = None):
         ura = not train
-        x = conv_he_fanout(64, 7, 2, padding=3, name="conv1")(x)
+        x = conv_he_fanout(64, 7, 2, padding=3, dtype=self.dtype, name="conv1")(x)
         if self.ibn_cfg[0] == "b":
             x = InstanceNorm(64, name="bn1")(x)
         else:
@@ -130,6 +133,8 @@ class ResNetIBN(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
+        block_cls = (nn.remat(BottleneckIBN, static_argnums=(2,))
+                     if self.remat else BottleneckIBN)
         inplanes = 64
         site = 0
         for s, (planes, blocks) in enumerate(zip((64, 128, 256, 512), self.layers)):
@@ -143,17 +148,17 @@ class ResNetIBN(nn.Module):
                     if cn_active is not None:
                         active = cn_active[site]
                     site += 1
-                x = BottleneckIBN(
+                x = block_cls(
                     inplanes, planes, pos=self.pos, cnsn_type=self.cnsn_type,
                     crop=self.crop, beta=self.beta,
                     ibn=self._block_ibn(stage_ibn, i, blocks),
                     stride=blk_stride, has_downsample=has_ds,
-                    num_groups=self.num_groups,
+                    num_groups=self.num_groups, dtype=self.dtype,
                     name=f"layer{s + 1}_{i}")(x, train, active)
                 inplanes = planes * 4
 
         x = jnp.mean(x, axis=(1, 2))  # AvgPool2d(7) on 7x7 map
-        return linear_torch_default(self.num_classes, name="fc")(x)
+        return linear_torch_default(self.num_classes, dtype=self.dtype, name="fc")(x)
 
 
 def resnet50_ibn_a(num_classes: int = 1000, **kw) -> ResNetIBN:

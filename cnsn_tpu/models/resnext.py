@@ -11,7 +11,7 @@ when a downsample exists (reference :102-106).
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +36,7 @@ class ResNeXtBottleneck(nn.Module):
     stride: int = 1
     has_downsample: bool = False
     num_groups: int = 1
+    dtype: Any = None  # compute dtype (bf16 fast path); params stay fp32
     expansion: int = 4
 
     @nn.compact
@@ -53,12 +54,12 @@ class ResNeXtBottleneck(nn.Module):
         if self.pos == "pre":
             x = cnsn(x, active, ura)
 
-        b = conv_he_fanout(width, 1, 1, padding=0, name="conv_reduce")(x)
+        b = conv_he_fanout(width, 1, 1, padding=0, dtype=self.dtype, name="conv_reduce")(x)
         b = nn.relu(BatchNorm(width, name="bn_reduce")(b, ura))
         b = conv_he_fanout(width, 3, self.stride, groups=self.cardinality,
-                           name="conv_conv")(b)
+                           dtype=self.dtype, name="conv_conv")(b)
         b = nn.relu(BatchNorm(width, name="bn")(b, ura))
-        b = conv_he_fanout(out_ch, 1, 1, padding=0, name="conv_expand")(b)
+        b = conv_he_fanout(out_ch, 1, 1, padding=0, dtype=self.dtype, name="conv_expand")(b)
         b = BatchNorm(out_ch, name="bn_expand")(b, ura)
 
         if self.pos == "residual":
@@ -69,7 +70,7 @@ class ResNeXtBottleneck(nn.Module):
         if self.has_downsample:
             # NB: overwrites an 'identity'-pos CNSN result (reference quirk).
             residual = conv_he_fanout(out_ch, 1, self.stride, padding=0,
-                                      name="downsample_conv")(x)
+                                      dtype=self.dtype, name="downsample_conv")(x)
             residual = BatchNorm(out_ch, name="downsample_bn")(residual, ura)
 
         out = nn.relu(residual + b)
@@ -88,6 +89,7 @@ class CifarResNeXt(nn.Module):
     beta: float = 1.0
     cnsn_type: str = "cnsn"
     num_groups: int = 1
+    dtype: Any = None  # compute dtype (bf16 fast path); params stay fp32
 
     @property
     def layer_blocks(self) -> int:
@@ -102,7 +104,7 @@ class CifarResNeXt(nn.Module):
     def __call__(self, x, train: bool = False,
                  cn_active: Optional[jax.Array] = None):
         ura = not train
-        x = conv_he_fanout(64, 3, 1, name="conv_1_3x3")(x)
+        x = conv_he_fanout(64, 3, 1, dtype=self.dtype, name="conv_1_3x3")(x)
         x = nn.relu(BatchNorm(64, name="bn_1")(x, ura))
 
         inplanes = 64
@@ -117,13 +119,13 @@ class CifarResNeXt(nn.Module):
                     inplanes, planes, self.cardinality, self.base_width,
                     pos=self.pos, cnsn_type=self.cnsn_type, crop=self.crop,
                     beta=self.beta, stride=blk_stride, has_downsample=has_ds,
-                    num_groups=self.num_groups,
+                    num_groups=self.num_groups, dtype=self.dtype,
                     name=f"stage{s + 1}_{i}")(x, train, active)
                 inplanes = planes * 4
                 site += 1
 
         x = jnp.mean(x, axis=(1, 2))  # AvgPool2d(8) on 8x8 map
-        return linear_kaiming_normal(self.num_classes, name="classifier")(x)
+        return linear_kaiming_normal(self.num_classes, dtype=self.dtype, name="classifier")(x)
 
 
 def resnext29(num_classes: int = 10, cardinality: int = 4,

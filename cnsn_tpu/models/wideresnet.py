@@ -10,7 +10,7 @@ cn site count: 18 blocks (depth 40 → 6 per group × 3 groups).
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +32,7 @@ class BasicBlock(nn.Module):
     crop: str
     beta: float
     num_groups: int = 1
+    dtype: Any = None  # compute dtype (bf16 fast path); params stay fp32
     drop_rate: float = 0.0
 
     @nn.compact
@@ -52,15 +53,15 @@ class BasicBlock(nn.Module):
         if equal:
             out = nn.relu(BatchNorm(self.in_planes, name="bn1")(out, ura))
 
-        out = conv_he_fanout(self.out_planes, 3, self.stride, name="conv1")(out)
+        out = conv_he_fanout(self.out_planes, 3, self.stride, dtype=self.dtype, name="conv1")(out)
         out = nn.relu(BatchNorm(self.out_planes, name="bn2")(out, ura))
         if self.drop_rate > 0:
             out = nn.Dropout(self.drop_rate, deterministic=not train)(out)
-        out = conv_he_fanout(self.out_planes, 3, 1, name="conv2")(out)
+        out = conv_he_fanout(self.out_planes, 3, 1, dtype=self.dtype, name="conv2")(out)
 
         if not equal:
             x = conv_he_fanout(self.out_planes, 1, self.stride, padding=0,
-                               name="conv_shortcut")(x)
+                               dtype=self.dtype, name="conv_shortcut")(x)
 
         if self.pos == "residual":
             out = cnsn(out, active, ura)
@@ -83,6 +84,7 @@ class WideResNet(nn.Module):
     beta: float = 1.0
     cnsn_type: str = "cnsn"
     num_groups: int = 1
+    dtype: Any = None  # compute dtype (bf16 fast path); params stay fp32
 
     @property
     def cn_num(self) -> int:
@@ -98,7 +100,7 @@ class WideResNet(nn.Module):
         chans = [16, 16 * k, 32 * k, 64 * k]
         ura = not train
 
-        out = conv_he_fanout(chans[0], 3, 1, name="conv1")(x)
+        out = conv_he_fanout(chans[0], 3, 1, dtype=self.dtype, name="conv1")(x)
         site = 0
         for g in range(3):
             for i in range(n):
@@ -108,11 +110,12 @@ class WideResNet(nn.Module):
                 out = BasicBlock(
                     in_p, chans[g + 1], stride, pos=self.pos,
                     cnsn_type=self.cnsn_type, crop=self.crop, beta=self.beta,
-                    num_groups=self.num_groups, drop_rate=self.drop_rate,
+                    num_groups=self.num_groups, dtype=self.dtype,
+                    drop_rate=self.drop_rate,
                     name=f"block{g + 1}_{i}")(out, train, active)
                 site += 1
 
         out = nn.relu(BatchNorm(chans[3], name="bn1")(out, ura))
         out = jnp.mean(out, axis=(1, 2))  # global pool (reference: 8x8 avg on 8x8)
-        out = linear_torch_default(self.num_classes, name="fc")(out)
+        out = linear_torch_default(self.num_classes, dtype=self.dtype, name="fc")(out)
         return out

@@ -74,16 +74,37 @@ class SelfNorm(nn.Module):
     features: int
     is_two: bool = False
     eps: float = 1e-12
+    use_pallas: bool = True
+
+    def _fused_eval(self, x, g_w):
+        """Fully fused single-pass eval path (Pallas, TPU): fold the BN
+        running stats into an affine and gate in one VMEM pass."""
+        from ..ops.pallas.selfnorm import selfnorm_infer_pallas
+        bn = self.variables["batch_stats"]["g_bn"]
+        p = self.variables["params"]["g_bn"]
+        a = p["scale"] * jax.lax.rsqrt(bn["var"] + 1e-5)
+        b = p["bias"] - a * bn["mean"]
+        return selfnorm_infer_pallas(x, g_w, a, b, eps=self.eps)
 
     @nn.compact
     def __call__(self, x: jax.Array, use_running_average: bool) -> jax.Array:
         c = self.features
+        g_w = self.param("g_fc", _conv1d_k2_init, (c, 2))
+
+        from ..ops.pallas.selfnorm import selfnorm_fits_vmem
+        if (use_running_average and not self.is_two and self.use_pallas
+                and not self.is_initializing()
+                and "g_bn" in self.variables.get("params", {})
+                and jax.default_backend() in ("tpu", "axon")
+                and selfnorm_fits_vmem(x.shape[1], x.shape[2], c)):
+            # keep BN params registered for checkpoint structure
+            return self._fused_eval(x, g_w)
+
         mean, std = instance_mean_std(x, eps=self.eps)  # (N,1,1,C)
         stats = jnp.stack(
             [mean.reshape(x.shape[0], c), std.reshape(x.shape[0], c)], axis=-1
         )  # (N, C, 2)
 
-        g_w = self.param("g_fc", _conv1d_k2_init, (c, 2))
         g_y = jnp.einsum("nck,ck->nc", stats.astype(jnp.float32), g_w)
         g_y = BatchNorm1dStats(c, name="g_bn")(g_y, use_running_average)
         g = jax.nn.sigmoid(g_y).reshape(x.shape[0], 1, 1, c).astype(x.dtype)

@@ -87,19 +87,26 @@ def cross_norm_2ins(
     k_perm, k_style, k_content, k_chan = jax.random.split(key, 4)
 
     perm = grouped_permutation(k_perm, n, num_groups)
-    x2 = jnp.take(x, perm, axis=0)
-    if chan:
-        chan_perm = jax.random.permutation(k_chan, c)
-        x2 = jnp.take(x2, chan_perm, axis=3)
 
-    # Style statistics: whole partner image, or a random crop of it.
+    # TPU-first formulation: CrossNorm consumes only the partner's
+    # *statistics*, so gather the (N, C) stats along the batch axis
+    # instead of the full activation (a pixel gather — and its
+    # scatter-add VJP — is the dominant cost on TPU; the stats gather
+    # is ~HW times smaller).  The bbox is shared by the whole batch,
+    # so stats(x2[bbox]) == stats(x[bbox])[perm] exactly.
     if crop in ("style", "both"):
         sh1, sh2, sw1, sw2 = sample_bbox(k_style, h, w, beta=beta,
                                          bbx_thres=bbx_thres)
         smask = region_mask(h, w, sh1, sh2, sw1, sw2)
-        s_mean, s_std = masked_instance_mean_std(x2, smask, eps=eps)
+        s_mean_all, s_std_all = masked_instance_mean_std(x, smask, eps=eps)
     else:
-        s_mean, s_std = instance_mean_std(x2, eps=eps)
+        s_mean_all, s_std_all = instance_mean_std(x, eps=eps)
+    s_mean = jnp.take(s_mean_all, perm, axis=0)
+    s_std = jnp.take(s_std_all, perm, axis=0)
+    if chan:
+        chan_perm = jax.random.permutation(k_chan, c)
+        s_mean = jnp.take(s_mean, chan_perm, axis=3)
+        s_std = jnp.take(s_std, chan_perm, axis=3)
 
     # Content: transfer everywhere, or only inside a random bbox.
     if crop in ("content", "both"):

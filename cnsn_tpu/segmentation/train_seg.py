@@ -1,0 +1,156 @@
+"""Segmentation training: jitted steps, poly LR with 10x head groups,
+ignore-aware CE, and histogram mIoU metrics.
+
+Parity with the reference trainer (segmentation/tool/train_cnsn.py):
+  * loss = CE(main) + aux_weight·CE(aux), ignore_label masked
+    (:317-321, aux_weight 0.4 from gtav yaml);
+  * poly lr per iteration, 10x for the head param groups
+    (:345-349, util.py poly_learning_rate);
+  * per-batch Bernoulli(mix_prob) toggles the CrossNorm aug forward
+    (:305-311) — here two jitted programs selected on host;
+  * metrics via intersection/union histograms reduced across devices
+    (util.py intersectionAndUnionGPU + dist.all_reduce → psum by GSPMD).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import traverse_util
+from flax.training import train_state
+
+from ..train.schedules import poly_lr
+
+__all__ = ["SegTrainState", "make_seg_optimizer", "SegStepFns",
+           "masked_cross_entropy", "seg_metrics"]
+
+
+class SegTrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def masked_cross_entropy(logits: jax.Array, labels: jax.Array,
+                         ignore_label: int = 255) -> jax.Array:
+    """Mean CE over non-ignored pixels (torch CrossEntropyLoss
+    ignore_index semantics)."""
+    valid = labels != ignore_label
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    return jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def seg_metrics(pred: jax.Array, target: jax.Array, num_classes: int,
+                ignore_label: int = 255):
+    """(intersection, union, target_area) histograms, each (K,) —
+    reference util.py intersectionAndUnionGPU."""
+    pred = pred.reshape(-1)
+    target = target.reshape(-1)
+    pred = jnp.where(target == ignore_label, ignore_label, pred)
+    match = pred == target
+
+    def hist(v, mask):
+        oh = jax.nn.one_hot(v, num_classes, dtype=jnp.float32)
+        return jnp.sum(oh * mask[:, None].astype(jnp.float32), axis=0)
+
+    inter = hist(pred, match & (pred != ignore_label))
+    area_p = hist(pred, pred != ignore_label)
+    area_t = hist(target, target != ignore_label)
+    return inter, area_p + area_t - inter, area_t
+
+
+def make_seg_optimizer(params, base_lr: float, max_iter: int,
+                       power: float = 0.9, momentum: float = 0.9,
+                       weight_decay: float = 1e-4,
+                       head_prefixes: Tuple[str, ...] = ("classifier",
+                                                         "aux_classifier")):
+    """SGD + poly schedule; head param groups get 10x lr (applied after
+    the momentum trace, matching torch per-group lr)."""
+    sched = poly_lr(base_lr, max_iter, power)
+    head_scale = optax.masked(optax.scale(10.0),
+                              lambda p: label_mask(p, head_prefixes))
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.trace(decay=momentum, nesterov=False),
+        optax.scale_by_schedule(lambda step: -sched(step)),
+        head_scale,
+    )
+
+
+def label_mask(params, head_prefixes):
+    flat = traverse_util.flatten_dict(params)
+    mask = {k: (k[0] in head_prefixes) for k in flat}
+    return traverse_util.unflatten_dict(mask)
+
+
+class SegStepFns:
+    """Jitted train/eval steps bound to one FCNCNSN model."""
+
+    def __init__(self, model, *, num_classes: int, active_num: int = 1,
+                 aux_weight: float = 0.4, ignore_label: int = 255,
+                 donate: bool = False):
+        self.model = model
+        self.num_classes = num_classes
+        self.active_num = active_num
+        self.aux_weight = aux_weight
+        self.ignore_label = ignore_label
+        self.cn_num = model.cn_num
+        dn = (0,) if donate else ()
+        self.plain = jax.jit(self._make_step(False), donate_argnums=dn)
+        self.aug = jax.jit(self._make_step(True), donate_argnums=dn)
+        self.eval_step = jax.jit(self._eval)
+
+    def _make_step(self, aug: bool):
+        def step(state, images, labels, rng):
+            masks = (None, None)
+            if aug:
+                k_mask, rng = jax.random.split(rng)
+                if self.cn_num > 0:
+                    from ..train.steps import sample_cn_mask
+                    cn_mask = sample_cn_mask(k_mask, self.cn_num,
+                                             self.active_num)
+                else:
+                    cn_mask = None
+                img_on = jnp.asarray(True) if self.model.has_img_cn else None
+                masks = (cn_mask, img_on)
+
+            def loss_fn(params):
+                variables = {"params": params,
+                             "batch_stats": state.batch_stats}
+                (out, auxl), mut = self.model.apply(
+                    variables, images, True, masks[0], masks[1],
+                    rngs={"crossnorm": rng,
+                          "dropout": jax.random.fold_in(rng, 11)},
+                    mutable=["batch_stats"])
+                main = masked_cross_entropy(out, labels, self.ignore_label)
+                aux_loss = masked_cross_entropy(auxl, labels,
+                                                self.ignore_label)
+                loss = main + self.aux_weight * aux_loss
+                return loss, (mut["batch_stats"], out, main, aux_loss)
+
+            (loss, (stats, out, main, aux_loss)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            state = state.apply_gradients(grads=grads, batch_stats=stats)
+            pred = jnp.argmax(out, axis=-1)
+            inter, union, target = seg_metrics(pred, labels,
+                                               self.num_classes,
+                                               self.ignore_label)
+            return state, {"loss": loss, "main_loss": main,
+                           "aux_loss": aux_loss, "intersection": inter,
+                           "union": union, "target": target}
+
+        return step
+
+    def _eval(self, state, images, labels):
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        out, auxl = self.model.apply(variables, images, False, None, None)
+        loss = masked_cross_entropy(out, labels, self.ignore_label)
+        pred = jnp.argmax(out, axis=-1)
+        inter, union, target = seg_metrics(pred, labels, self.num_classes,
+                                           self.ignore_label)
+        return {"loss": loss, "pred": pred, "intersection": inter,
+                "union": union, "target": target}

@@ -1,0 +1,48 @@
+"""Pallas kernels vs jnp oracles (interpret mode on the CPU platform)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from cnsn_tpu.ops.pallas.ins_stats import ins_stats_pallas
+from cnsn_tpu.ops.pallas.selfnorm import (selfnorm_infer_pallas,
+                                          selfnorm_infer_reference)
+from cnsn_tpu.ops.stats import instance_mean_std
+
+
+class TestInsStatsKernel:
+    @pytest.mark.parametrize("shape", [(2, 8, 8, 128), (3, 17, 5, 256),
+                                       (1, 56, 56, 64)])
+    def test_matches_jnp(self, shape):
+        x = jnp.asarray(np.random.RandomState(0).randn(*shape)
+                        .astype(np.float32))
+        mean, std = ins_stats_pallas(x, interpret=True)
+        ref_mean, ref_std = instance_mean_std(x)
+        np.testing.assert_allclose(np.asarray(mean),
+                                   np.asarray(ref_mean)[:, 0, 0, :],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(std),
+                                   np.asarray(ref_std)[:, 0, 0, :],
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_bf16_input(self):
+        x = jnp.asarray(np.random.RandomState(1).randn(2, 8, 8, 128)
+                        .astype(np.float32)).astype(jnp.bfloat16)
+        mean, std = ins_stats_pallas(x, interpret=True)
+        ref_mean, ref_std = instance_mean_std(x.astype(jnp.float32))
+        np.testing.assert_allclose(np.asarray(mean),
+                                   np.asarray(ref_mean)[:, 0, 0, :],
+                                   rtol=2e-2, atol=2e-2)
+
+
+class TestSelfNormInferKernel:
+    def test_matches_reference(self):
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.randn(3, 14, 14, 128).astype(np.float32))
+        w = jnp.asarray(rng.randn(128, 2).astype(np.float32) * 0.3)
+        a = jnp.asarray(rng.uniform(0.5, 2.0, 128).astype(np.float32))
+        b = jnp.asarray(rng.randn(128).astype(np.float32) * 0.1)
+        got = selfnorm_infer_pallas(x, w, a, b, interpret=True)
+        ref = selfnorm_infer_reference(x, w, a, b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
