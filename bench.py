@@ -38,7 +38,8 @@ def main():
     else:
         model = build_model("resnet50", num_classes=1000, pos="residual",
                             cnsn_type=cnsn_type, crop="neither", beta=1.0,
-                            dtype=dtype)
+                            dtype=dtype,
+                            remat=os.environ.get("BENCH_REMAT") == "1")
     tx = make_sgd(cosine_lr(0.1, 10_000), weight_decay=1e-4, nesterov=False)
     state = create_train_state(model, jax.random.key(0),
                                (batch, size, size, 3), tx)

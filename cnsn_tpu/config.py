@@ -68,8 +68,12 @@ class ExperimentConfig:
     print_freq: int = 10
     eval_batch_size: int = 1000
     resume: Optional[str] = None
+    pretrained: Optional[str] = None   # torch .pth partial init
     evaluate: bool = False
     num_devices: Optional[int] = None  # data-parallel width (None = all)
+    compute_dtype: str = "fp32"        # fp32 | bf16 (params stay fp32)
+    remat: bool = False                # rematerialize ResNet bottlenecks
+    image_size: Optional[int] = None   # default: 32 (CIFAR) / 224 (ImageNet)
 
     def infer(self) -> "ExperimentConfig":
         """Fill derived fields (num_classes, regime) like the reference

@@ -12,6 +12,7 @@ Inactive sites cost nothing at runtime: the swap is wrapped in a
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -45,18 +46,25 @@ class CrossNorm(nn.Module):
     lam: Optional[float] = None
     chan: bool = False
     num_groups: int = 1
+    # 'cond' skips idle sites via lax.cond; 'fma' is branchless (stats
+    # always, gate folded into a fused scale/shift).  Env override for
+    # benchmarking: CNSN_CN_IMPL.
+    impl: str = os.environ.get("CNSN_CN_IMPL", "fma")
 
     @nn.compact
     def __call__(self, x: jax.Array, active: Optional[jax.Array] = None) -> jax.Array:
         if active is None:
             return x
         key = self.make_rng("crossnorm")
+        kw = dict(crop=self.crop, beta=self.beta, bbx_thres=self.bbx_thres,
+                  lam=self.lam, chan=self.chan, num_groups=self.num_groups)
+
+        if self.impl == "fma":
+            from ..ops.crossnorm import cross_norm_fma
+            return cross_norm_fma(x, key, active, **kw)
 
         def swap(x):
-            return cross_norm_2ins(
-                x, key, crop=self.crop, beta=self.beta,
-                bbx_thres=self.bbx_thres, lam=self.lam, chan=self.chan,
-                num_groups=self.num_groups)
+            return cross_norm_2ins(x, key, **kw)
 
         return jax.lax.cond(active, swap, lambda x: x, x)
 

@@ -135,6 +135,58 @@ class InstanceNorm(nn.Module):
         return out.astype(x.dtype)
 
 
+class MultiBatchNorm(nn.Module):
+    """Domain-specific BatchNorm (AdaBN): one running-stat bank per
+    domain, shared affine — the reference's MultiBatchNorm
+    (segmentation/util/util.py:222-237, present but unused by the
+    shipped trainer).  ``domain`` is a static int selecting the bank.
+    """
+
+    features: int
+    num_domains: int = 2
+    eps: float = 1e-5
+    momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, use_running_average: bool,
+                 domain: int = 0) -> jax.Array:
+        assert 0 <= domain < self.num_domains
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.num_domains, self.features), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.num_domains, self.features), jnp.float32))
+
+        xf = x.astype(jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value[domain], ra_var.value[domain]
+        else:
+            axes = tuple(range(x.ndim - 1))
+            n = 1
+            for a in axes:
+                n *= x.shape[a]
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+            if not self.is_initializing():
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = ra_mean.value.at[domain].set(
+                    (1 - m) * ra_mean.value[domain] + m * mean)
+                ra_var.value = ra_var.value.at[domain].set(
+                    (1 - m) * ra_var.value[domain] + m * unbiased)
+        shape = [1] * x.ndim
+        shape[-1] = self.features
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        out = (xf - mean.reshape(shape)) * inv.reshape(shape) \
+            + bias.reshape(shape)
+        return out.astype(x.dtype)
+
+
 class IBN(nn.Module):
     """Instance-Batch Normalization: IN on the first half of the
     channels, BN on the rest (IBN-Net; reference

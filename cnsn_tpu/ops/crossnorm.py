@@ -123,3 +123,71 @@ def cross_norm_2ins(
     if lam is not None:
         x_aug = x * lam + x_aug * (1.0 - lam)
     return x_aug.astype(x.dtype)
+
+
+def cross_norm_fma(
+    x: jax.Array,
+    key: jax.Array,
+    active: jax.Array,
+    crop: str = "neither",
+    beta: float = 1.0,
+    bbx_thres: float = 0.1,
+    lam: Optional[float] = None,
+    chan: bool = False,
+    num_groups: int = 1,
+    eps: float = 1e-5,
+) -> jax.Array:
+    """Branchless CrossNorm: identical math to :func:`cross_norm_2ins`
+    with the ``active`` gate folded into per-(N, C) scale/shift scalars
+    instead of a ``lax.cond``.
+
+    out = x·scale + shift, where scale = σ_s/σ_c and
+    shift = μ_s − μ_c·scale when active (1 / 0 when not).  Statistics
+    are computed unconditionally — one extra reduction pass — but the
+    apply is a single FMA that XLA fuses into neighboring ops, with no
+    conditional boundary in either the forward or backward program.
+    Preferable when the site count is small or sites are usually
+    active; the cond implementation wins when most sites are idle.
+    """
+    if crop not in CROP_MODES:
+        raise ValueError(f"crop must be one of {CROP_MODES}, got {crop!r}")
+    n, h, w, c = x.shape
+    k_perm, k_style, k_content, k_chan = jax.random.split(key, 4)
+    perm = grouped_permutation(k_perm, n, num_groups)
+
+    if crop in ("style", "both"):
+        sh1, sh2, sw1, sw2 = sample_bbox(k_style, h, w, beta=beta,
+                                         bbx_thres=bbx_thres)
+        smask = region_mask(h, w, sh1, sh2, sw1, sw2)
+        s_mean_all, s_std_all = masked_instance_mean_std(x, smask, eps=eps)
+    else:
+        s_mean_all, s_std_all = instance_mean_std(x, eps=eps)
+    s_mean = jnp.take(s_mean_all, perm, axis=0)
+    s_std = jnp.take(s_std_all, perm, axis=0)
+    if chan:
+        chan_perm = jax.random.permutation(k_chan, c)
+        s_mean = jnp.take(s_mean, chan_perm, axis=3)
+        s_std = jnp.take(s_std, chan_perm, axis=3)
+
+    if crop in ("content", "both"):
+        ch1, ch2, cw1, cw2 = sample_bbox(k_content, h, w, beta=beta,
+                                         bbx_thres=bbx_thres)
+        cmask = region_mask(h, w, ch1, ch2, cw1, cw2).astype(bool)
+        c_mean, c_std = masked_instance_mean_std(x, cmask, eps=eps)
+    else:
+        cmask = None
+        c_mean, c_std = instance_mean_std(x, eps=eps)
+
+    scale = (s_std / c_std).astype(jnp.float32)
+    shift = (s_mean - c_mean * scale).astype(jnp.float32)
+    if lam is not None:
+        scale = lam + (1.0 - lam) * scale
+        shift = (1.0 - lam) * shift
+    one = jnp.ones_like(scale)
+    zero = jnp.zeros_like(shift)
+    scale = jnp.where(active, scale, one)
+    shift = jnp.where(active, shift, zero)
+    out = x.astype(jnp.float32) * scale + shift
+    if cmask is not None:
+        out = jnp.where(cmask, out, x.astype(jnp.float32))
+    return out.astype(x.dtype)

@@ -1,0 +1,243 @@
+"""Host-side segmentation trainer: the TPU-native counterpart of the
+reference DDP trainer (segmentation/tool/train_cnsn.py:83-451).
+
+One process, one mesh: DistributedSampler/mp.spawn/NCCL become batch
+sharding + GSPMD collectives; the per-iteration poly LR (with 10x head
+groups) lives inside the optax chain; the mix_prob CrossNorm gate picks
+between two jitted programs; metric histograms accumulate on host;
+checkpoints rotate keep-last-2 (:255-261); optional cross-domain
+(Cityscapes) validation each epoch (:271-278).
+"""
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel import DataParallel, make_mesh
+from ..utils.meters import AverageMeter
+from ..utils.metrics_io import MetricWriter
+from .data import (Compose, Crop, Normalize, RandRotate, RandScale,
+                   RandomGaussianBlur, RandomHorizontalFlip, SegLoader)
+from .fcn import fcn_baseline, fcn_cnsn
+from .pspnet import PSANet, PSPNet
+from .train_seg import SegStepFns, SegTrainState, make_seg_optimizer
+
+__all__ = ["SegConfig", "SegTrainer", "build_seg_model",
+           "default_train_transform"]
+
+
+@dataclass
+class SegConfig:
+    """Mirrors segmentation/config/gtav/gtav_fcn50_cnsn.yaml."""
+    arch: str = "fcn_cnsn"          # fcn | fcn_cnsn | psp | psa
+    classes: int = 19
+    train_h: int = 97
+    train_w: int = 97
+    scale_min: float = 0.5
+    scale_max: float = 2.0
+    rotate_min: float = -10.0
+    rotate_max: float = 10.0
+    ignore_label: int = 255
+    aux_weight: float = 0.4
+    base_lr: float = 0.01
+    epochs: int = 80
+    batch_size: int = 16
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    power: float = 0.9
+    # CNSN knobs (gtav yaml :35-43)
+    pos: Optional[str] = "residual"
+    cn_pos: Optional[str] = "post"
+    block_idxs: str = "1_2_3_4"
+    crop: str = "style"
+    cnsn_type: Optional[str] = "cnsn"
+    beta: float = 1.0
+    active_num: int = 1
+    mix_prob: float = 0.5
+    # infra
+    seed: int = 1
+    print_freq: int = 10
+    save_path: str = "./exp/seg"
+    keep_last: int = 2
+    num_devices: Optional[int] = None
+    mean: tuple = (0.485 * 255, 0.456 * 255, 0.406 * 255)
+    std: tuple = (0.229 * 255, 0.224 * 255, 0.225 * 255)
+
+
+def build_seg_model(cfg: SegConfig, num_groups: int = 1):
+    kw = dict(classes=cfg.classes, block_idxs=cfg.block_idxs, pos=cfg.pos,
+              cn_pos=cfg.cn_pos, cnsn_type=cfg.cnsn_type, crop=cfg.crop,
+              beta=cfg.beta, num_groups=num_groups)
+    if cfg.arch == "fcn_cnsn":
+        return fcn_cnsn(**kw)
+    if cfg.arch == "fcn":
+        return fcn_baseline(classes=cfg.classes, num_groups=num_groups)
+    if cfg.arch == "psp":
+        return PSPNet(**kw)
+    if cfg.arch == "psa":
+        return PSANet(**kw)
+    raise ValueError(f"unknown arch {cfg.arch}")
+
+
+def default_train_transform(cfg: SegConfig) -> Compose:
+    """gtav yaml pipeline (train_cnsn.py:206-220 equivalent)."""
+    return Compose([
+        RandScale((cfg.scale_min, cfg.scale_max)),
+        RandRotate((cfg.rotate_min, cfg.rotate_max), padding=cfg.mean,
+                   ignore_label=cfg.ignore_label),
+        RandomGaussianBlur(),
+        RandomHorizontalFlip(),
+        Crop((cfg.train_h, cfg.train_w), "rand", padding=cfg.mean,
+             ignore_label=cfg.ignore_label),
+        Normalize(cfg.mean, cfg.std),
+    ])
+
+
+def _summarize(inter, union, target):
+    iou = inter / np.maximum(union, 1e-10)
+    acc = inter / np.maximum(target, 1e-10)
+    return (float(np.mean(iou)), float(np.mean(acc)),
+            float(inter.sum() / max(target.sum(), 1e-10)))
+
+
+class SegTrainer:
+    def __init__(self, cfg: SegConfig, train_dataset, val_dataset=None,
+                 cross_domain_dataset=None):
+        self.cfg = cfg
+        np.random.seed(cfg.seed)
+        self.mesh = make_mesh(cfg.num_devices)
+        self.dp = DataParallel(self.mesh)
+        self.model = build_seg_model(cfg, num_groups=self.dp.num_shards)
+
+        tf = default_train_transform(cfg)
+        self.train_loader = SegLoader(train_dataset, cfg.batch_size, tf,
+                                      seed=cfg.seed)
+        val_tf = Compose([Crop((cfg.train_h, cfg.train_w), "center",
+                               padding=cfg.mean,
+                               ignore_label=cfg.ignore_label),
+                          Normalize(cfg.mean, cfg.std)])
+        self.val_loader = (SegLoader(val_dataset, cfg.batch_size, val_tf,
+                                     shuffle=False, drop_last=False)
+                           if val_dataset else None)
+        self.cross_loader = (SegLoader(cross_domain_dataset, cfg.batch_size,
+                                       val_tf, shuffle=False,
+                                       drop_last=False)
+                             if cross_domain_dataset else None)
+
+        rngs = {"params": jax.random.key(cfg.seed),
+                "crossnorm": jax.random.key(cfg.seed + 1),
+                "dropout": jax.random.key(cfg.seed + 2)}
+        x0 = jnp.zeros((2, cfg.train_h, cfg.train_w, 3))
+        variables = self.model.init(rngs, x0, False, None, None)
+        max_iter = cfg.epochs * len(self.train_loader)
+        tx = make_seg_optimizer(variables["params"], cfg.base_lr, max_iter,
+                                cfg.power, cfg.momentum, cfg.weight_decay)
+        state = SegTrainState.create(
+            apply_fn=self.model.apply, params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}), tx=tx)
+        self.state = self.dp.replicate(state)
+        self.steps = SegStepFns(self.model, num_classes=cfg.classes,
+                                active_num=cfg.active_num,
+                                aux_weight=cfg.aux_weight,
+                                ignore_label=cfg.ignore_label)
+        self._gate = np.random.RandomState(cfg.seed + 17)
+        self._key = jax.random.key(cfg.seed + 23)
+        self._it = 0
+        os.makedirs(cfg.save_path, exist_ok=True)
+        self.writer = MetricWriter(os.path.join(cfg.save_path, "metrics"))
+
+    def _next_key(self):
+        self._it += 1
+        return jax.random.fold_in(self._key, self._it)
+
+    def train_epoch(self, epoch: int):
+        cfg = self.cfg
+        meters = {k: AverageMeter() for k in ("main", "aux", "loss")}
+        inter_sum = np.zeros(cfg.classes)
+        union_sum = np.zeros(cfg.classes)
+        target_sum = np.zeros(cfg.classes)
+        has_cn = (cfg.cnsn_type and "cn" in cfg.cnsn_type) or cfg.cn_pos
+        t0 = time.time()
+        for i, (images, labels) in enumerate(self.train_loader):
+            im = self.dp.shard_batch(jnp.asarray(images))
+            lb = self.dp.shard_batch(jnp.asarray(labels))
+            aug = bool(has_cn
+                       and self._gate.rand(1)[0] < cfg.mix_prob)
+            fn = self.steps.aug if aug else self.steps.plain
+            self.state, m = fn(self.state, im, lb, self._next_key())
+            n = images.shape[0]
+            meters["main"].update(float(m["main_loss"]), n)
+            meters["aux"].update(float(m["aux_loss"]), n)
+            meters["loss"].update(float(m["loss"]), n)
+            inter_sum += np.asarray(m["intersection"])
+            union_sum += np.asarray(m["union"])
+            target_sum += np.asarray(m["target"])
+            step = epoch * len(self.train_loader) + i + 1
+            self.writer.scalar("loss_train_batch", meters["main"].val, step)
+            if (i + 1) % cfg.print_freq == 0:
+                miou, macc, aacc = _summarize(inter_sum, union_sum,
+                                              target_sum)
+                print(f"Epoch [{epoch + 1}/{cfg.epochs}][{i + 1}/"
+                      f"{len(self.train_loader)}] MainLoss "
+                      f"{meters['main'].val:.4f} AuxLoss "
+                      f"{meters['aux'].val:.4f} Loss "
+                      f"{meters['loss'].val:.4f} mIoU {miou:.4f} "
+                      f"({time.time() - t0:.1f}s)")
+        miou, macc, aacc = _summarize(inter_sum, union_sum, target_sum)
+        self.writer.scalar("mIoU_train", miou, epoch)
+        return meters["main"].avg, miou, macc, aacc
+
+    def validate(self, loader=None, tag: str = "val"):
+        loader = loader or self.val_loader
+        if loader is None:
+            return None
+        loss = AverageMeter()
+        inter_sum = np.zeros(self.cfg.classes)
+        union_sum = np.zeros(self.cfg.classes)
+        target_sum = np.zeros(self.cfg.classes)
+        for images, labels in loader:
+            im = self.dp.shard_batch(jnp.asarray(images))
+            lb = self.dp.shard_batch(jnp.asarray(labels))
+            out = self.steps.eval_step(self.state, im, lb)
+            loss.update(float(out["loss"]), images.shape[0])
+            inter_sum += np.asarray(out["intersection"])
+            union_sum += np.asarray(out["union"])
+            target_sum += np.asarray(out["target"])
+        miou, macc, aacc = _summarize(inter_sum, union_sum, target_sum)
+        print(f"{tag} result: mIoU/mAcc/allAcc "
+              f"{miou:.4f}/{macc:.4f}/{aacc:.4f}")
+        return {"loss": loss.avg, "mIoU": miou, "mAcc": macc,
+                "allAcc": aacc,
+                "iou_class": inter_sum / np.maximum(union_sum, 1e-10)}
+
+    def save_checkpoint(self, epoch: int):
+        """Epoch files with keep-last-N rotation (train_cnsn.py:255-261)."""
+        from ..utils.checkpoint import save_checkpoint as _save
+        cfg = self.cfg
+        path = _save(self.state, "seg", cfg.save_path, epoch, 0.0, False,
+                     keep_epoch_file=True)
+        epochs = sorted(
+            int(f.rsplit("_", 1)[1]) for f in os.listdir(cfg.save_path)
+            if f.startswith("seg_ckpt_"))
+        for old in epochs[:-cfg.keep_last]:
+            os.remove(os.path.join(cfg.save_path, f"seg_ckpt_{old}"))
+        return path
+
+    def fit(self, epochs: Optional[int] = None):
+        cfg = self.cfg
+        for epoch in range(epochs if epochs is not None else cfg.epochs):
+            loss, miou, macc, aacc = self.train_epoch(epoch)
+            print(f"Train epoch [{epoch + 1}]: mIoU/mAcc/allAcc "
+                  f"{miou:.4f}/{macc:.4f}/{aacc:.4f}")
+            self.save_checkpoint(epoch + 1)
+            if self.val_loader:
+                self.validate()
+            if self.cross_loader:
+                self.validate(self.cross_loader, tag="cross-domain")
+        return self.state

@@ -35,12 +35,25 @@ class Trainer:
 
         self.mesh = make_mesh(cfg.num_devices)
         self.dp = DataParallel(self.mesh)
+        if cfg.batch_size % self.dp.num_shards != 0:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} must be divisible by the "
+                f"data-parallel width {self.dp.num_shards} (set "
+                f"num_devices to control it)")
 
-        input_hw = 224 if cfg.dataset == "imagenet" else 32
-        self.model = build_model(
-            cfg.model, num_classes=cfg.num_classes, pos=cfg.pos,
-            crop=cfg.crop, beta=cfg.beta, cnsn_type=cfg.cnsn_type,
-            num_groups=self.dp.num_shards)
+        input_hw = cfg.image_size or (224 if cfg.dataset == "imagenet"
+                                      else 32)
+        self.image_size = input_hw
+        import jax.numpy as jnp
+        model_kw = dict(pos=cfg.pos, crop=cfg.crop, beta=cfg.beta,
+                        cnsn_type=cfg.cnsn_type,
+                        num_groups=self.dp.num_shards,
+                        dtype=(jnp.bfloat16 if cfg.compute_dtype == "bf16"
+                               else None))
+        if cfg.model.startswith("resnet"):
+            model_kw["remat"] = cfg.remat
+        self.model = build_model(cfg.model, num_classes=cfg.num_classes,
+                                 **model_kw)
 
         # data
         if cfg.dataset in ("cifar10", "cifar100"):
@@ -56,10 +69,23 @@ class Trainer:
                 mixture_depth=cfg.mixture_depth, all_ops=cfg.all_ops)
             self.test_loader = CifarLoader(self.test_data,
                                            cfg.eval_batch_size, mode="eval")
+        elif cfg.dataset == "imagenet":
+            from ..data.imagenet import ImageNetLoader, scan_image_folder
+            train_dir = os.path.join(cfg.data_dir, "train")
+            val_dir = os.path.join(cfg.data_dir, "validation")
+            mode = ("train_augmix" if "augmix" in cfg.regime else "train")
+            self.train_loader = ImageNetLoader(
+                scan_image_folder(train_dir), cfg.batch_size, mode=mode,
+                seed=cfg.seed, workers=cfg.workers,
+                image_size=input_hw,
+                aug_severity=cfg.aug_severity,
+                mixture_width=cfg.mixture_width,
+                mixture_depth=cfg.mixture_depth, all_ops=cfg.all_ops)
+            self.test_loader = ImageNetLoader(
+                scan_image_folder(val_dir), cfg.eval_batch_size,
+                mode="eval", workers=cfg.workers, image_size=input_hw)
         else:
-            raise NotImplementedError(
-                "ImageNet training requires the imagenet data pipeline; "
-                "see cnsn_tpu/data/imagenet.py")
+            raise ValueError(f"unknown dataset: {cfg.dataset}")
 
         steps_per_epoch = len(self.train_loader)
         if cfg.schedule == "cosine":
@@ -76,6 +102,18 @@ class Trainer:
         self.state = create_train_state(
             self.model, jax.random.key(cfg.seed),
             (2, input_hw, input_hw, 3), tx)
+        if cfg.pretrained and os.path.isfile(cfg.pretrained):
+            # torch .pth partial init, strict=False (imagenet.py:518-521)
+            from ..utils.torch_import import import_torch_checkpoint
+            variables = {"params": self.state.params,
+                         "batch_stats": self.state.batch_stats}
+            new_vars, missing = import_torch_checkpoint(
+                cfg.pretrained, variables, strict=False)
+            self.state = self.state.replace(
+                params=new_vars["params"],
+                batch_stats=new_vars["batch_stats"])
+            print(f"loaded pretrained '{cfg.pretrained}' "
+                  f"({len(missing)} unmatched keys)")
         self.steps = StepFns(self.model,
                              active_num=cfg.active_num or 1,
                              consist_wt=cfg.consist_wt or 0.0,
@@ -167,7 +205,8 @@ class Trainer:
             is_best = test_acc > self.best_acc
             self.best_acc = max(test_acc, self.best_acc)
             save_checkpoint(self.state, type(self.model).__name__,
-                            self.exp_dir, epoch + 1, self.best_acc, is_best)
+                            self.exp_dir, epoch + 1, self.best_acc, is_best,
+                            keep_epoch_file=(cfg.dataset == "imagenet"))
             with open(self.log_file, "a") as f:
                 f.write(f"{epoch:d}\t{lr:g}\t{train_loss:2.2f}\t"
                         f"{100 - 100. * test_acc:2.2f}\t"
@@ -179,8 +218,38 @@ class Trainer:
 
     def test_corruptions(self) -> float:
         cfg = self.cfg
+        if cfg.dataset == "imagenet":
+            return self._test_corruptions_imagenet()
         mean_acc, _ = evaluate_cifar_c(
             self.steps.eval_step, self.state, cfg.corrupt_data_dir,
             cfg.num_classes, cfg.eval_batch_size)
         print(f"Mean Corruption Error: {100 - 100. * mean_acc:.3f}")
         return mean_acc
+
+    def _test_corruptions_imagenet(self) -> float:
+        """ImageNet-C: per corruption x severity folders → AlexNet-
+        normalized mCE (imagenet.py:426-450, 125-140)."""
+        from ..data.imagenet import (ImageNetLoader, imagenet_c_dir,
+                                     scan_image_folder)
+        from ..evaluation.classify import CORRUPTIONS, compute_mce
+        cfg = self.cfg
+        corruption_accs = {}
+        for corruption in CORRUPTIONS:
+            accs = []
+            for severity in range(1, 6):
+                d = imagenet_c_dir(cfg.corrupt_data_dir, corruption,
+                                   severity)
+                loader = ImageNetLoader(scan_image_folder(d),
+                                        cfg.eval_batch_size, mode="eval",
+                                        workers=cfg.workers)
+                _, acc = evaluate(self.steps.eval_step, self.state, loader)
+                accs.append(acc)
+            corruption_accs[corruption] = accs
+            print(f"{corruption}: avg err "
+                  f"{100 * (1 - float(np.mean(accs))):.2f}")
+        mce, ce_dict = compute_mce(corruption_accs)
+        print("individual CEs:")
+        for c in CORRUPTIONS:
+            print(f"{c}: {ce_dict[c]: .2f}")
+        print(f"mCE: {mce:.2f}")
+        return mce

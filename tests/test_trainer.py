@@ -1,0 +1,62 @@
+"""End-to-end Trainer tests: CIFAR synthetic smoke, ImageNet fake-folder
+smoke (image-space CN regime), checkpoint resume parity."""
+import os
+
+import numpy as np
+import pytest
+import jax
+from PIL import Image
+
+from cnsn_tpu.config import load_config
+from cnsn_tpu.train.trainer import Trainer
+
+
+def test_cifar_trainer_smoke(tmp_path):
+    cfg = load_config("cnsn_tpu/configs/cifar10/allconv/cn.yaml",
+                      synthetic_data=True, epochs=1, batch_size=16,
+                      eval_batch_size=32, exp_dir=str(tmp_path),
+                      print_freq=100)
+    import dataclasses
+    cfg = dataclasses.replace(cfg, num_devices=2)
+    t = Trainer(cfg)
+    # synthetic dataset has 512 train images → 32 steps
+    loss = t.train_epoch()
+    assert np.isfinite(loss)
+    tl, acc = t.evaluate_clean()
+    assert 0.0 <= acc <= 1.0
+    from cnsn_tpu.utils.checkpoint import restore_state, save_checkpoint
+    p = save_checkpoint(t.state, "m", t.exp_dir, 1, acc, True)
+    s2, ep, best = restore_state(p, t.state)
+    assert ep == 1 and abs(best - acc) < 1e-9
+    tl2, acc2 = t.evaluate_clean()
+    assert abs(acc2 - acc) < 1e-9  # state unchanged by save/restore
+
+
+@pytest.fixture(scope="module")
+def fake_imagenet(tmp_path_factory):
+    root = tmp_path_factory.mktemp("imagenet")
+    rng = np.random.RandomState(0)
+    for split, n in [("train", 3), ("validation", 2)]:
+        for ci in range(3):
+            d = root / split / f"n{ci:04d}"
+            d.mkdir(parents=True)
+            for i in range(n):
+                arr = rng.randint(0, 255, (80, 96, 3)).astype(np.uint8)
+                Image.fromarray(arr).save(d / f"{i}.jpeg")
+    return str(root)
+
+
+def test_imagenet_trainer_cn_image(fake_imagenet, tmp_path):
+    cfg = load_config(
+        None, dataset="imagenet", model="resnet50", exp_id="resnet50_cn",
+        regime="auto", data_dir=fake_imagenet, epochs=1, batch_size=4,
+        eval_batch_size=4, lr=0.1, weight_decay=1e-4, nesterov=False,
+        schedule="imagenet_step", crop="both", beta=1.0, cn_prob=1.0,
+        cnsn_type=None, exp_dir=str(tmp_path), image_size=64, workers=2,
+        num_devices=2, print_freq=100)
+    assert cfg.regime == "cn_image"
+    t = Trainer(cfg)
+    loss = t.train_epoch()
+    assert np.isfinite(loss)
+    tl, acc = t.evaluate_clean()
+    assert 0.0 <= acc <= 1.0
