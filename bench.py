@@ -24,7 +24,7 @@ def main():
     from cnsn_tpu.models import build_model
     from cnsn_tpu.train import StepFns, cosine_lr, create_train_state, make_sgd
 
-    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     size = int(os.environ.get("BENCH_SIZE", "224"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     warmup = int(os.environ.get("BENCH_WARMUP", "5"))

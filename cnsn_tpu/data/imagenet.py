@@ -66,7 +66,8 @@ class ImageNetLoader:
                  mode: str = "train", seed: int = 0, image_size: int = 224,
                  workers: int = 8, aug_severity: float = 1,
                  mixture_width: int = 3, mixture_depth: int = -1,
-                 all_ops: bool = False, drop_last: Optional[bool] = None):
+                 all_ops: bool = False, drop_last: Optional[bool] = None,
+                 use_native: bool = True):
         self.data = data
         self.batch_size = batch_size
         self.mode = mode
@@ -78,6 +79,15 @@ class ImageNetLoader:
                            mixture_depth=mixture_depth, all_ops=all_ops)
         self.drop_last = (mode != "eval") if drop_last is None else drop_last
         self.epoch = 0
+        # native C++ decode path (csrc/loader.cc) for pure-JPEG datasets
+        # in train/eval modes; AugMix keeps PIL (needs the PIL op chain)
+        self.use_native = False
+        if use_native and mode in ("train", "eval") and data.samples:
+            from . import native
+            if (native.available()
+                    and all(p.lower().endswith((".jpg", ".jpeg"))
+                            for p, _ in data.samples[:64])):
+                self.use_native = True
 
     def __len__(self):
         n, b = len(self.data.samples), self.batch_size
@@ -113,6 +123,26 @@ class ImageNetLoader:
         idx = rng.permutation(n) if self.mode != "eval" else np.arange(n)
         b = self.batch_size
         stop = (n // b) * b if self.drop_last else n
+        if self.use_native:
+            from . import native
+            from .transforms import IMAGENET_MEAN, IMAGENET_STD
+            for s in range(0, stop, b):
+                sel = idx[s:s + b]
+                paths = [self.data.samples[i][0] for i in sel]
+                labels = np.asarray([self.data.samples[i][1] for i in sel],
+                                    np.int32)
+                if self.mode == "eval":
+                    batch = native.decode_eval_batch(
+                        paths, 256, self.image_size, IMAGENET_MEAN,
+                        IMAGENET_STD, threads=self.workers)
+                else:
+                    seeds = rng.randint(1, 2**62, len(paths)).astype(np.uint64)
+                    batch = native.decode_train_batch(
+                        paths, self.image_size, IMAGENET_MEAN, IMAGENET_STD,
+                        seeds, threads=self.workers)
+                yield batch, labels
+            return
+
         fn = {"train": self._one_train, "train_augmix": self._one_train_augmix,
               "eval": self._one_eval}[self.mode]
         with ThreadPoolExecutor(self.workers) as pool:

@@ -82,7 +82,11 @@ class SelfNorm(nn.Module):
     features: int
     is_two: bool = False
     eps: float = 1e-12
-    use_pallas: bool = True
+    # Opt-in fused Pallas eval path.  Measured on v5e: XLA's two-pass
+    # fusion currently beats the hand kernel (144 vs 332 us on a
+    # 32x14x14x1024 block), so default off until the kernel is tiled
+    # better; flip with use_pallas=True or CNSN_SN_PALLAS=1.
+    use_pallas: bool = os.environ.get("CNSN_SN_PALLAS") == "1"
 
     def _fused_eval(self, x, g_w):
         """Fully fused single-pass eval path (Pallas, TPU): fold the BN

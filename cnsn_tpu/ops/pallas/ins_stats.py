@@ -56,8 +56,8 @@ def _stats_kernel(x_ref, mean_ref, std_ref, acc_ref, *, hw, chunk, eps, ddof):
         var = acc_ref[1] / n - mean * mean
         if ddof:
             var = var * (n / max(hw - ddof, 1))
-        mean_ref[0] = mean
-        std_ref[0] = jnp.sqrt(var + eps)
+        mean_ref[0, 0] = mean
+        std_ref[0, 0] = jnp.sqrt(var + eps)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "ddof", "interpret"))
@@ -72,21 +72,23 @@ def ins_stats_pallas(x: jax.Array, eps: float = 1e-5, ddof: int = 1,
 
     kernel = functools.partial(_stats_kernel, hw=hw, chunk=chunk,
                                eps=eps, ddof=ddof)
+    # outputs are (N, 1, C) so the block's trailing dims (1, C) match the
+    # array dims (Mosaic tiling constraint); squeezed on return
     mean, std = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec((1, chunk, c), lambda i, k: (i, k, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec((1, c), lambda i, k: (i, 0),
+        out_specs=(pl.BlockSpec((1, 1, c), lambda i, k: (i, 0, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, c), lambda i, k: (i, 0),
+                   pl.BlockSpec((1, 1, c), lambda i, k: (i, 0, 0),
                                 memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((n, c), jnp.float32),
-                   jax.ShapeDtypeStruct((n, c), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
+        out_shape=(jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
+                   jax.ShapeDtypeStruct((n, 1, c), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((8, c), jnp.float32)],
         interpret=interpret,
     )(xr)
-    return mean, std
+    return mean[:, 0], std[:, 0]
 
 
 def instance_mean_std_fast(x: jax.Array, eps: float = 1e-5, ddof: int = 1,
