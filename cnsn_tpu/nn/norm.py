@@ -11,6 +11,8 @@ All layers take channels-last inputs and keep statistics in float32.
 """
 from __future__ import annotations
 
+import math
+import os
 from typing import Sequence
 
 import jax
@@ -35,12 +37,23 @@ class BatchNorm(nn.Module):
     Train: normalize with biased batch variance over (N, H, W); update
     running stats with momentum 0.1, storing the *unbiased* variance.
     Eval: normalize with running statistics.
+
+    ``groups`` controls the statistics scope under data parallelism:
+    1 (default) reduces over the whole (sharded) batch — GSPMD makes
+    that a cross-device reduction, i.e. SyncBatchNorm semantics
+    (the reference's opt-in convert_sync_batchnorm,
+    segmentation/tool/train_cnsn.py:159-160).  Setting groups to the
+    data-parallel width reproduces per-replica DataParallel BN: each
+    contiguous batch group normalizes with its own moments and the
+    running stats follow group 0 (the master replica).  Env default:
+    CNSN_BN_GROUPS.
     """
 
     features: int
     eps: float = 1e-5
     momentum: float = 0.1
     axes: Sequence[int] = (0, 1, 2)
+    groups: int = int(os.environ.get("CNSN_BN_GROUPS", "1"))
 
     @nn.compact
     def __call__(self, x: jax.Array, use_running_average: bool) -> jax.Array:
@@ -52,21 +65,42 @@ class BatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((self.features,), jnp.float32))
 
+        g = self.groups if (not use_running_average
+                            and self.groups > 1
+                            and x.shape[0] % self.groups == 0) else 1
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
             xf = x.astype(jnp.float32)
-            axes = tuple(self.axes)
-            n = 1
-            for a in axes:
-                n *= x.shape[a]
-            mean = jnp.mean(xf, axis=axes)
-            var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+            if g > 1:
+                xg = xf.reshape((g, x.shape[0] // g) + x.shape[1:])
+                axes = tuple(range(1, xg.ndim - 1))
+                n = math.prod(xg.shape[1:-1])
+                mean = jnp.mean(xg, axis=axes)              # (g, C)
+                var = jnp.mean(jnp.square(xg), axis=axes) - jnp.square(mean)
+            else:
+                axes = tuple(self.axes)
+                n = 1
+                for a in axes:
+                    n *= x.shape[a]
+                mean = jnp.mean(xf, axis=axes)
+                var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
             if not self.is_initializing():
-                unbiased = var * (n / max(n - 1, 1))
                 m = self.momentum
-                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                mean0 = mean[0] if g > 1 else mean
+                var0 = var[0] if g > 1 else var
+                unbiased = var0 * (n / max(n - 1, 1))
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean0
                 ra_var.value = (1 - m) * ra_var.value + m * unbiased
+
+        if g > 1:
+            inv = jax.lax.rsqrt(var + self.eps) * scale       # (g, C)
+            gshape = (g,) + (1,) * (x.ndim - 1) + (self.features,)
+            xg = x.astype(jnp.float32).reshape(
+                (g, x.shape[0] // g) + x.shape[1:])
+            out = ((xg - mean.reshape(gshape)) * inv.reshape(gshape)
+                   + bias.reshape((1,) * x.ndim + (self.features,)))
+            return out.reshape(x.shape).astype(dtype)
 
         shape = [1] * x.ndim
         shape[-1] = self.features

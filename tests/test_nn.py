@@ -148,3 +148,47 @@ class TestIBN:
         # First half behaves like IN: per-sample/channel mean ~ 0.
         first = np.asarray(out)[..., :4]
         np.testing.assert_allclose(first.mean(axis=(1, 2)), 0.0, atol=1e-4)
+
+
+class TestPerReplicaBatchNorm:
+    def test_groups_match_per_half_torch(self):
+        rng = np.random.RandomState(7)
+        x = rng.randn(8, 4, 4, 3).astype(np.float32)
+        bn = BatchNorm(3, groups=2)
+        v = bn.init(jax.random.key(0), jnp.asarray(x), False)
+        out, mut = bn.apply(v, jnp.asarray(x), False,
+                            mutable=["batch_stats"])
+        ta, tb = tnn.BatchNorm2d(3), tnn.BatchNorm2d(3)
+        ta.train(), tb.train()
+        oa = ta(torch.from_numpy(x[:4].transpose(0, 3, 1, 2)))
+        ob = tb(torch.from_numpy(x[4:].transpose(0, 3, 1, 2)))
+        np.testing.assert_allclose(np.asarray(out[:4]),
+                                   oa.detach().numpy().transpose(0, 2, 3, 1),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out[4:]),
+                                   ob.detach().numpy().transpose(0, 2, 3, 1),
+                                   rtol=1e-4, atol=1e-5)
+        # running stats follow group 0 (DataParallel master semantics)
+        np.testing.assert_allclose(np.asarray(mut["batch_stats"]["var"]),
+                                   ta.running_var.numpy(), rtol=1e-4,
+                                   atol=1e-5)
+
+
+class TestMultiBatchNorm:
+    def test_domain_banks_are_independent(self):
+        from cnsn_tpu.nn import MultiBatchNorm
+        rng = np.random.RandomState(8)
+        x0 = jnp.asarray(rng.randn(4, 3, 3, 2).astype(np.float32))
+        x1 = jnp.asarray(rng.randn(4, 3, 3, 2).astype(np.float32) * 5 + 2)
+        mod = MultiBatchNorm(2, num_domains=2)
+        v = mod.init(jax.random.key(0), x0, False, 0)
+        _, mut = mod.apply(v, x0, False, 0, mutable=["batch_stats"])
+        v = {**v, **mut}
+        _, mut = mod.apply(v, x1, False, 1, mutable=["batch_stats"])
+        stats = mut["batch_stats"]
+        assert not np.allclose(np.asarray(stats["mean"][0]),
+                               np.asarray(stats["mean"][1]))
+        # eval uses the selected bank
+        e0 = mod.apply({**v, **mut}, x0, True, 0)
+        e1 = mod.apply({**v, **mut}, x0, True, 1)
+        assert not np.allclose(np.asarray(e0), np.asarray(e1))
