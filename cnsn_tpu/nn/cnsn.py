@@ -99,12 +99,18 @@ class SelfNorm(nn.Module):
         return selfnorm_infer_pallas(x, g_w, a, b, eps=self.eps)
 
     @nn.compact
-    def __call__(self, x: jax.Array, use_running_average: bool) -> jax.Array:
+    def __call__(self, x: jax.Array, use_running_average: bool,
+                 stats=None, gate_only: bool = False) -> jax.Array:
+        """``stats``: optional precomputed (mean, std), each (N, C) —
+        used by the fused CNSN path, which knows the post-CrossNorm
+        statistics analytically.  ``gate_only`` returns the (N,1,1,C)
+        gate instead of the scaled activation."""
         c = self.features
         g_w = self.param("g_fc", _conv1d_k2_init, (c, 2))
 
         from ..ops.pallas.selfnorm import selfnorm_fits_vmem
-        if (use_running_average and not self.is_two and self.use_pallas
+        if (stats is None and not gate_only
+                and use_running_average and not self.is_two and self.use_pallas
                 and not self.is_initializing()
                 and "g_bn" in self.variables.get("params", {})
                 and jax.default_backend() in ("tpu", "axon")
@@ -112,18 +118,25 @@ class SelfNorm(nn.Module):
             # keep BN params registered for checkpoint structure
             return self._fused_eval(x, g_w)
 
-        mean, std = instance_mean_std(x, eps=self.eps)  # (N,1,1,C)
-        stats = jnp.stack(
-            [mean.reshape(x.shape[0], c), std.reshape(x.shape[0], c)], axis=-1
-        )  # (N, C, 2)
+        if stats is None:
+            mean, std = instance_mean_std(x, eps=self.eps)  # (N,1,1,C)
+            mean_nc = mean.reshape(x.shape[0], c)
+            std_nc = std.reshape(x.shape[0], c)
+        else:
+            mean_nc, std_nc = stats
+            mean = mean_nc.reshape(x.shape[0], 1, 1, c)
+        stats_nc2 = jnp.stack([mean_nc, std_nc], axis=-1)  # (N, C, 2)
 
-        g_y = jnp.einsum("nck,ck->nc", stats.astype(jnp.float32), g_w)
+        g_y = jnp.einsum("nck,ck->nc", stats_nc2.astype(jnp.float32), g_w)
         g_y = BatchNorm1dStats(c, name="g_bn")(g_y, use_running_average)
         g = jax.nn.sigmoid(g_y).reshape(x.shape[0], 1, 1, c).astype(x.dtype)
+        if gate_only:
+            assert not self.is_two
+            return g
 
         if self.is_two:
             f_w = self.param("f_fc", _conv1d_k2_init, (c, 2))
-            f_y = jnp.einsum("nck,ck->nc", stats.astype(jnp.float32), f_w)
+            f_y = jnp.einsum("nck,ck->nc", stats_nc2.astype(jnp.float32), f_w)
             f_y = BatchNorm1dStats(c, name="f_bn")(f_y, use_running_average)
             f = jax.nn.sigmoid(f_y).reshape(x.shape[0], 1, 1, c).astype(x.dtype)
             return x * g + mean.astype(x.dtype) * (f - g)
@@ -131,19 +144,74 @@ class SelfNorm(nn.Module):
 
 
 class CNSN(nn.Module):
-    """CrossNorm-then-SelfNorm composition (reference: models/cnsn.py:152-164)."""
+    """CrossNorm-then-SelfNorm composition (reference: models/cnsn.py:152-164).
+
+    Fused fast path: for global-affine crop modes ('neither'/'style'),
+    CrossNorm's output is x·scale + shift per (N, C), so SelfNorm's
+    instance statistics follow algebraically from CrossNorm's single
+    stats pass — μ_out = μ_c·scale + shift and
+    σ_out = sqrt((σ_c²−eps_cn)·scale² + eps_sn), both exact.  The whole
+    CNSN site then costs one stats pass + one combined FMA
+    (x·(scale·g) + shift·g) instead of two stats passes + two apply
+    passes.  Enabled automatically during aug forwards when valid;
+    ``fuse=False`` forces the reference-shaped composition.
+    """
 
     features: int
     cnsn_type: str  # 'cn' | 'sn' | 'cnsn'
     crop: str = "neither"
     beta: float = 1.0
     num_groups: int = 1
+    fuse: bool = os.environ.get("CNSN_FUSE", "1") == "1"
 
     @nn.compact
     def __call__(self, x: jax.Array, active: Optional[jax.Array],
                  use_running_average: bool) -> jax.Array:
         if self.cnsn_type not in ("cn", "sn", "cnsn"):
             raise ValueError(f"bad cnsn_type {self.cnsn_type!r}")
+
+        if (self.fuse and self.cnsn_type == "cnsn" and active is not None
+                and self.crop in ("neither", "style")):
+            from ..ops.bbox import sample_bbox
+            from ..ops.crossnorm import grouped_permutation
+            from ..ops.stats import (masked_instance_mean_std, region_mask)
+
+            eps_cn = 1e-5
+            n, h, w, c = x.shape
+            key = self.make_rng("crossnorm")
+            k_perm, k_style, _, _ = jax.random.split(key, 4)
+            perm = grouped_permutation(k_perm, n, self.num_groups)
+
+            c_mean, c_std = instance_mean_std(x, eps=eps_cn,
+                                              out_dtype=jnp.float32)
+            if self.crop == "style":
+                sh1, sh2, sw1, sw2 = sample_bbox(k_style, h, w,
+                                                 beta=self.beta)
+                smask = region_mask(h, w, sh1, sh2, sw1, sw2)
+                s_mean_all, s_std_all = masked_instance_mean_std(
+                    x, smask, eps=eps_cn, out_dtype=jnp.float32)
+            else:
+                s_mean_all, s_std_all = c_mean, c_std
+            s_mean = jnp.take(s_mean_all, perm, axis=0).astype(jnp.float32)
+            s_std = jnp.take(s_std_all, perm, axis=0).astype(jnp.float32)
+
+            cm = c_mean.astype(jnp.float32)
+            cs = c_std.astype(jnp.float32)
+            scale = jnp.where(active, s_std / cs, 1.0)
+            shift = jnp.where(active, s_mean - cm * (s_std / cs), 0.0)
+
+            # SelfNorm statistics of the affine CN output, exact algebra:
+            # μ_out = μ_c·scale + shift;  var_out = (σ_c² − eps_cn)·scale²
+            sn = SelfNorm(self.features, name="selfnorm")
+            sn_mean = (cm * scale + shift).reshape(n, c)
+            var_x = jnp.maximum(cs * cs - eps_cn, 0.0)
+            sn_std = jnp.sqrt(var_x * (scale * scale) + sn.eps).reshape(n, c)
+            g = sn(x, use_running_average, stats=(sn_mean, sn_std),
+                   gate_only=True).astype(jnp.float32)
+
+            out = x.astype(jnp.float32) * (scale * g) + shift * g
+            return out.astype(x.dtype)
+
         if "cn" in self.cnsn_type:
             x = CrossNorm(crop=self.crop, beta=self.beta,
                           num_groups=self.num_groups, name="crossnorm")(x, active)

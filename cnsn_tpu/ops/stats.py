@@ -24,7 +24,8 @@ __all__ = [
 ]
 
 
-def instance_mean_std(x: jax.Array, eps: float = 1e-5, ddof: int = 1):
+def instance_mean_std(x: jax.Array, eps: float = 1e-5, ddof: int = 1,
+                      out_dtype=None):
     """Spatial mean/std per (sample, channel) of an NHWC tensor.
 
     Returns ``(mean, std)`` each shaped (N, 1, 1, C) for direct
@@ -40,7 +41,8 @@ def instance_mean_std(x: jax.Array, eps: float = 1e-5, ddof: int = 1):
     if ddof:
         var = var * (n / max(n - ddof, 1))
     std = jnp.sqrt(var + eps)
-    return mean.astype(x.dtype), std.astype(x.dtype)
+    dt = out_dtype or x.dtype
+    return mean.astype(dt), std.astype(dt)
 
 
 def region_mask(h: int, w: int, h1, h2, w1, w2, dtype=jnp.float32) -> jax.Array:
@@ -62,6 +64,7 @@ def masked_instance_mean_std(
     mask: jax.Array,
     eps: float = 1e-5,
     ddof: int = 1,
+    out_dtype=None,
 ):
     """Mean/std per (N, C) over the spatial positions where ``mask`` is 1.
 
@@ -84,4 +87,5 @@ def masked_instance_mean_std(
         denom = jnp.maximum(n - ddof, 1.0)
         var = var * (n / denom)
     std = jnp.sqrt(var + eps)
-    return mean.astype(x.dtype), std.astype(x.dtype)
+    dt = out_dtype or x.dtype
+    return mean.astype(dt), std.astype(dt)
