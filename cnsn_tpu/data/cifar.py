@@ -82,10 +82,12 @@ class CifarLoader:
     """Host-side batch iterator producing NHWC float32 arrays.
 
     mode:
-      'train'        — crop/flip/normalize (cifar.py:325-330)
-      'train_augmix' — flip/crop geometry then 3 views
-                       (clean, augmix, augmix); yields (3, B, H, W, C)
-      'eval'         — normalize only
+      'train'              — crop/flip/normalize (cifar.py:325-330)
+      'train_augmix'       — flip/crop geometry then 3 views
+                             (clean, augmix, augmix); yields (3, B, H, W, C)
+      'train_augmix_nojsd' — single AugMix view (the reference
+                             AugMixDataset no_jsd=True mode, utils.py:112-113)
+      'eval'               — normalize only
     """
 
     def __init__(self, data: CifarData, batch_size: int, mode: str = "train",
@@ -120,6 +122,10 @@ class CifarLoader:
             labels = self.data.labels[sel]
             if self.mode == "train":
                 batch = np.stack([cifar_train_transform(rng, im) for im in imgs])
+            elif self.mode == "train_augmix_nojsd":
+                batch = np.stack([
+                    augmix(rng, cifar_train_geom(rng, im), normalize, 32,
+                           **self.aug_kw) for im in imgs])
             elif self.mode == "train_augmix":
                 views = [[], [], []]
                 for im in imgs:

@@ -45,3 +45,15 @@ def poly_lr(base_lr: float, max_iter: int, power: float = 0.9):
         return base_lr * (1.0 - step / max_iter) ** power
 
     return schedule
+
+
+def step_lr(base_lr: float, step_epoch: int, steps_per_epoch: int,
+            multiplier: float = 0.1):
+    """÷10 every ``step_epoch`` epochs (segmentation/util/util.py
+    step_learning_rate)."""
+
+    def schedule(step):
+        epoch = step // steps_per_epoch
+        return base_lr * multiplier ** (epoch // step_epoch)
+
+    return schedule

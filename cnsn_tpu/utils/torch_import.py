@@ -99,9 +99,14 @@ def _translate(key: str) -> Tuple[Tuple[str, ...], str]:
 def convert_state_dict(state_dict: Mapping[str, Any],
                        params: Dict[str, Any],
                        batch_stats: Dict[str, Any],
-                       strict: bool = False):
+                       strict: bool = False,
+                       prefix: Tuple[str, ...] = ()):
     """Convert + load a torch state_dict into (params, batch_stats)
-    copies.  Returns (params, batch_stats, missing_keys)."""
+    copies.  Returns (params, batch_stats, missing_keys).
+
+    ``prefix`` roots every translated path under a module (e.g.
+    ('backbone',) to load a torchvision resnet into the segmentation
+    backbone)."""
     import jax
 
     params = jax.tree.map(np.asarray, params)
@@ -110,6 +115,7 @@ def convert_state_dict(state_dict: Mapping[str, Any],
 
     for key, value in state_dict.items():
         path, kind = _translate(key)
+        path = prefix + path
         if kind == "skip":
             continue
         v = _np(value)

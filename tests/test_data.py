@@ -118,3 +118,12 @@ class TestImageFolder:
                                 workers=2)
         x, y = next(iter(loader))
         assert x.shape == (3, 2, 32, 32, 3)
+
+
+class TestAugMixNoJsd:
+    def test_single_view_mode(self):
+        data = load_cifar("/nonexistent", "cifar10", True, synthetic=True,
+                          synthetic_size=8)
+        loader = CifarLoader(data, 4, mode="train_augmix_nojsd")
+        x, y = next(iter(loader))
+        assert x.shape == (4, 32, 32, 3) and y.shape == (4,)
