@@ -1,0 +1,216 @@
+"""On-device AugMix: the full augmentation chain as pure JAX, vmapped.
+
+A TPU-native alternative to the host PIL pipeline (data/augmix.py):
+all 9 default ops implemented on (H, W, 3) uint8-valued float tensors,
+per-image op choice via ``lax.switch``, depth via masked 3-op chains,
+Dirichlet branch weights and the Beta(1,1) skip coefficient on device.
+One ``jit(vmap(...))`` produces the whole (clean, aug1, aug2) tuple with
+zero host work — useful when host CPUs are the bottleneck (the usual
+case on TPU VMs).
+
+Semantics follow the reference ops (augmentations.py:52-149):
+severity ~ U(0.1, level) per application, sign flips on the geometric
+ops, bilinear resampling with zero fill (PIL AFFINE/rotate on RGB).
+Affine sampling differs from PIL by sub-pixel filter details only.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["augmix_batch", "augmix_single", "NUM_OPS"]
+
+NUM_OPS = 9
+
+
+def _affine_sample(img: jax.Array, mat: jax.Array) -> jax.Array:
+    """PIL Image.transform(AFFINE, (a,b,c,d,e,f)) with bilinear + zero
+    fill: out[y, x] = in[d·x + e·y + f, a·x + b·y + c]."""
+    h, w = img.shape[:2]
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)
+    a, b, c, d, e, f = mat
+    sx = a * gx + b * gy + c
+    sy = d * gx + e * gy + f
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+
+    def gather(yy, xx):
+        valid = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+        yc = jnp.clip(yy, 0, h - 1).astype(jnp.int32)
+        xc = jnp.clip(xx, 0, w - 1).astype(jnp.int32)
+        vals = img[yc, xc]
+        return jnp.where(valid[..., None], vals, 0.0)
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    top = v00 * (1 - fx[..., None]) + v01 * fx[..., None]
+    bot = v10 * (1 - fx[..., None]) + v11 * fx[..., None]
+    return top * (1 - fy[..., None]) + bot * fy[..., None]
+
+
+def _sample_level(key, n):
+    return jax.random.uniform(key, (), minval=0.1, maxval=n)
+
+
+def _signed(key, v):
+    return jnp.where(jax.random.uniform(key) > 0.5, -v, v)
+
+
+# each op: (key, img[H,W,3] float 0..255, severity) -> img
+def _autocontrast(key, img, severity):
+    lo = jnp.min(img, axis=(0, 1))
+    hi = jnp.max(img, axis=(0, 1))
+    scale = 255.0 / jnp.maximum(hi - lo, 1e-6)
+    out = (img - lo) * scale
+    return jnp.where(hi > lo, out, img)
+
+
+def _equalize(key, img, severity):
+    def chan(c):
+        hist = jnp.zeros(256).at[jnp.clip(c, 0, 255).astype(jnp.int32)
+                                 .reshape(-1)].add(1.0)
+        # PIL equalize: step = (pixels - last_nonzero_count) // 255
+        nonzero = hist > 0
+        last_idx = 255 - jnp.argmax(nonzero[::-1])
+        step = (jnp.sum(hist) - hist[last_idx]) // 255
+        cum = jnp.concatenate([jnp.zeros(1), jnp.cumsum(hist)[:-1]])
+        lut = (cum + step // 2) // jnp.maximum(step, 1)
+        lut = jnp.clip(lut, 0, 255)
+        mapped = lut[jnp.clip(c, 0, 255).astype(jnp.int32)]
+        return jnp.where(step > 0, mapped, c)
+
+    return jnp.stack([chan(img[..., i]) for i in range(3)], axis=-1)
+
+
+def _posterize(key, img, severity):
+    level = (_sample_level(key, severity) * 4 / 10).astype(jnp.int32)
+    bits = 4 - level
+    shift = (8 - bits).astype(jnp.int32)
+    vals = jnp.clip(img, 0, 255).astype(jnp.int32)
+    return ((vals >> shift) << shift).astype(jnp.float32)
+
+
+def _rotate(key, img, severity):
+    k1, k2 = jax.random.split(key)
+    deg = (_sample_level(k1, severity) * 30 / 10).astype(jnp.int32)
+    deg = _signed(k2, deg.astype(jnp.float32))
+    rad = deg * jnp.pi / 180.0
+    h, w = img.shape[:2]
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0  # rotate about center
+    cos, sin = jnp.cos(rad), jnp.sin(rad)
+    # inverse mapping of a rotation about (cx, cy)
+    mat = jnp.array([cos, -sin, cx - cos * cx + sin * cy,
+                     sin, cos, cy - sin * cx - cos * cy])
+    return _affine_sample(img, mat)
+
+
+def _solarize(key, img, severity):
+    level = (_sample_level(key, severity) * 256 / 10).astype(jnp.int32)
+    thresh = (256 - level).astype(jnp.float32)
+    return jnp.where(img >= thresh, 255.0 - img, img)
+
+
+def _shear_x(key, img, severity):
+    k1, k2 = jax.random.split(key)
+    v = _signed(k2, _sample_level(k1, severity) * 0.3 / 10)
+    return _affine_sample(img, jnp.array([1.0, 0, 0, 0, 1.0, 0])
+                          .at[1].set(v))
+
+
+def _shear_y(key, img, severity):
+    k1, k2 = jax.random.split(key)
+    v = _signed(k2, _sample_level(k1, severity) * 0.3 / 10)
+    return _affine_sample(img, jnp.array([1.0, 0, 0, 0, 1.0, 0])
+                          .at[3].set(v))
+
+
+def _translate_x(key, img, severity):
+    k1, k2 = jax.random.split(key)
+    size = img.shape[0]
+    v = (_sample_level(k1, severity) * (size / 3) / 10).astype(jnp.int32)
+    v = _signed(k2, v.astype(jnp.float32))
+    return _affine_sample(img, jnp.array([1.0, 0, 0, 0, 1.0, 0])
+                          .at[2].set(v))
+
+
+def _translate_y(key, img, severity):
+    k1, k2 = jax.random.split(key)
+    size = img.shape[0]
+    v = (_sample_level(k1, severity) * (size / 3) / 10).astype(jnp.int32)
+    v = _signed(k2, v.astype(jnp.float32))
+    return _affine_sample(img, jnp.array([1.0, 0, 0, 0, 1.0, 0])
+                          .at[5].set(v))
+
+
+_OPS = (_autocontrast, _equalize, _posterize, _rotate, _solarize,
+        _shear_x, _shear_y, _translate_x, _translate_y)
+
+
+def _apply_random_op(key, img, severity):
+    k_pick, k_op = jax.random.split(key)
+    idx = jax.random.randint(k_pick, (), 0, NUM_OPS)
+    return jax.lax.switch(idx, [functools.partial(op) for op in _OPS],
+                          k_op, img, severity)
+
+
+def augmix_single(key: jax.Array, image_u8: jax.Array,
+                  severity: float = 3.0, mixture_width: int = 3,
+                  mixture_depth: int = -1,
+                  mean: Tuple[float, ...] = (0.5, 0.5, 0.5),
+                  std: Tuple[float, ...] = (0.5, 0.5, 0.5)) -> jax.Array:
+    """One AugMix view of an (H, W, 3) uint8 image → normalized float32."""
+    img = image_u8.astype(jnp.float32)
+    mean_a = jnp.asarray(mean, jnp.float32) * 255.0
+    std_a = jnp.asarray(std, jnp.float32) * 255.0
+
+    def preprocess(z):
+        return (z - mean_a) / std_a
+
+    k_w, k_m, key = jax.random.split(key, 3)
+    ws = jax.random.dirichlet(k_w, jnp.ones(mixture_width))
+    m = jax.random.uniform(k_m)  # Beta(1,1)
+
+    mix = jnp.zeros_like(img)
+    for i in range(mixture_width):
+        key, k_depth, k_chain = jax.random.split(key, 3)
+        depth = (mixture_depth if mixture_depth > 0
+                 else jax.random.randint(k_depth, (), 1, 4))
+        branch = img
+        for d in range(3):
+            key, k_op = jax.random.split(key)
+            new = _apply_random_op(k_op, branch, severity)
+            branch = jnp.where(d < depth, new, branch)
+        mix = mix + ws[i] * preprocess(branch)
+
+    return ((1 - m) * preprocess(img) + m * mix).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("severity", "mixture_width",
+                                             "mixture_depth", "mean", "std"))
+def augmix_batch(key: jax.Array, images_u8: jax.Array, severity: float = 3.0,
+                 mixture_width: int = 3, mixture_depth: int = -1,
+                 mean: Tuple[float, ...] = (0.5, 0.5, 0.5),
+                 std: Tuple[float, ...] = (0.5, 0.5, 0.5)) -> jax.Array:
+    """(B, H, W, 3) uint8 → (3, B, H, W, 3) float32: clean + 2 AugMix
+    views, entirely on device."""
+    n = images_u8.shape[0]
+    keys = jax.random.split(key, 2 * n).reshape(2, n)
+    fn = functools.partial(augmix_single, severity=severity,
+                           mixture_width=mixture_width,
+                           mixture_depth=mixture_depth, mean=mean, std=std)
+    aug1 = jax.vmap(fn)(keys[0], images_u8)
+    aug2 = jax.vmap(fn)(keys[1], images_u8)
+    mean_a = jnp.asarray(mean, jnp.float32) * 255.0
+    std_a = jnp.asarray(std, jnp.float32) * 255.0
+    clean = (images_u8.astype(jnp.float32) - mean_a) / std_a
+    return jnp.stack([clean, aug1, aug2])

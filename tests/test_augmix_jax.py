@@ -1,0 +1,92 @@
+"""On-device AugMix tests: op-level parity vs PIL where exact
+(posterize/solarize/autocontrast), geometric sanity, and batch API."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from PIL import Image, ImageOps
+
+from cnsn_tpu.data.augmix_jax import (_OPS, _affine_sample, augmix_batch,
+                                      augmix_single)
+
+
+def rand_img(seed=0, hw=32):
+    return np.random.RandomState(seed).randint(
+        0, 256, (hw, hw, 3)).astype(np.uint8)
+
+
+class TestExactOps:
+    def test_solarize_matches_pil(self):
+        img = rand_img(1)
+        for thresh in (64, 128, 200):
+            expect = np.asarray(ImageOps.solarize(Image.fromarray(img),
+                                                  thresh))
+            got = np.where(img.astype(np.float32) >= thresh,
+                           255.0 - img, img)
+            np.testing.assert_allclose(got, expect)
+
+    def test_posterize_matches_pil(self):
+        img = rand_img(2)
+        for bits in (1, 2, 3, 4):
+            expect = np.asarray(ImageOps.posterize(Image.fromarray(img),
+                                                   bits))
+            shift = 8 - bits
+            got = ((img.astype(np.int32) >> shift) << shift)
+            np.testing.assert_allclose(got, expect)
+
+    def test_autocontrast_matches_pil(self):
+        img = (rand_img(3) // 2 + 60).astype(np.uint8)  # compressed range
+        expect = np.asarray(
+            ImageOps.autocontrast(Image.fromarray(img))).astype(np.float32)
+        got = np.asarray(_OPS[0](jax.random.key(0),
+                                 jnp.asarray(img, jnp.float32), 3.0))
+        assert np.abs(got - expect).max() <= 1.0  # rounding only
+
+    def test_equalize_close_to_pil(self):
+        img = rand_img(4)
+        expect = np.asarray(
+            ImageOps.equalize(Image.fromarray(img))).astype(np.float32)
+        got = np.asarray(_OPS[1](jax.random.key(0),
+                                 jnp.asarray(img, jnp.float32), 3.0))
+        assert np.abs(got - expect).max() <= 1.0
+
+
+class TestAffine:
+    def test_identity(self):
+        img = jnp.asarray(rand_img(5), jnp.float32)
+        out = _affine_sample(img, jnp.array([1.0, 0, 0, 0, 1.0, 0]))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(img),
+                                   atol=1e-4)
+
+    def test_translate_matches_pil(self):
+        img = rand_img(6)
+        pil = Image.fromarray(img).transform(
+            (32, 32), Image.AFFINE, (1, 0, 5, 0, 1, 0),
+            resample=Image.BILINEAR)
+        got = _affine_sample(jnp.asarray(img, jnp.float32),
+                             jnp.array([1.0, 0, 5.0, 0, 1.0, 0]))
+        np.testing.assert_allclose(np.asarray(got),
+                                   np.asarray(pil).astype(np.float32),
+                                   atol=1.0)
+
+
+class TestAugmixBatch:
+    def test_shapes_and_range(self):
+        imgs = jnp.asarray(np.stack([rand_img(i) for i in range(4)]))
+        out = augmix_batch(jax.random.key(0), imgs)
+        assert out.shape == (3, 4, 32, 32, 3)
+        out = np.asarray(out)
+        assert np.isfinite(out).all()
+        # convex mixture of normalized images stays in [-1, 1]
+        assert out.min() >= -1.001 and out.max() <= 1.001
+        # augmented views differ from clean and from each other
+        assert not np.allclose(out[0], out[1])
+        assert not np.allclose(out[1], out[2])
+
+    def test_deterministic_per_key(self):
+        imgs = jnp.asarray(np.stack([rand_img(7)]))
+        a = augmix_batch(jax.random.key(3), imgs)
+        b = augmix_batch(jax.random.key(3), imgs)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        c = augmix_batch(jax.random.key(4), imgs)
+        assert not np.allclose(np.asarray(a), np.asarray(c))
