@@ -119,6 +119,11 @@ class PSPNet(nn.Module):
         return seg_resnet50(block_idxs=self.block_idxs,
                             cnsn_type=self.cnsn_type).cn_num
 
+    @property
+    def has_img_cn(self) -> bool:
+        return seg_resnet50(block_idxs=self.block_idxs,
+                            cnsn_type=self.cnsn_type).has_img_cn
+
     @nn.compact
     def __call__(self, x, train: bool = False,
                  cn_active: Optional[jax.Array] = None,
@@ -169,6 +174,11 @@ class PSANet(nn.Module):
     def cn_num(self) -> int:
         return seg_resnet50(block_idxs=self.block_idxs,
                             cnsn_type=self.cnsn_type).cn_num
+
+    @property
+    def has_img_cn(self) -> bool:
+        return seg_resnet50(block_idxs=self.block_idxs,
+                            cnsn_type=self.cnsn_type).has_img_cn
 
     @nn.compact
     def __call__(self, x, train: bool = False,

@@ -65,8 +65,10 @@ def seg_metrics(pred: jax.Array, target: jax.Array, num_classes: int,
 def make_seg_optimizer(params, base_lr: float, max_iter: int,
                        power: float = 0.9, momentum: float = 0.9,
                        weight_decay: float = 1e-4,
-                       head_prefixes: Tuple[str, ...] = ("classifier",
-                                                         "aux_classifier")):
+                       head_prefixes: Tuple[str, ...] = (
+                           "classifier", "aux_classifier",
+                           "ppm", "cls", "aux", "psa_reduce", "psa_bn",
+                           "psa_attn")):
     """SGD + poly schedule; head param groups get 10x lr (applied after
     the momentum trace, matching torch per-group lr)."""
     sched = poly_lr(base_lr, max_iter, power)

@@ -216,6 +216,14 @@ class SegTrainer:
                 "allAcc": aacc,
                 "iou_class": inter_sum / np.maximum(union_sum, 1e-10)}
 
+    def resume(self, path: str) -> int:
+        """Restore state from a checkpoint file; returns the epoch
+        (train_cnsn.py:191-204 --resume)."""
+        from ..utils.checkpoint import restore_state
+        self.state, epoch, _ = restore_state(path, self.state)
+        print(f"=> loaded checkpoint '{path}' (epoch {epoch})")
+        return epoch
+
     def save_checkpoint(self, epoch: int):
         """Epoch files with keep-last-N rotation (train_cnsn.py:255-261)."""
         from ..utils.checkpoint import save_checkpoint as _save
