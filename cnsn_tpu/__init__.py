@@ -10,3 +10,5 @@ data parallelism via jax.sharding meshes instead of DataParallel/DDP.
 __version__ = "0.1.0"
 
 from . import ops  # noqa: F401
+from .config import ExperimentConfig, load_config  # noqa: F401
+from .models import build_model  # noqa: F401

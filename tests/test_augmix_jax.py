@@ -90,3 +90,43 @@ class TestAugmixBatch:
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         c = augmix_batch(jax.random.key(4), imgs)
         assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+class TestShearMatmul:
+    def test_translate_matches_affine_sample(self):
+        from cnsn_tpu.data.augmix_jax import _shear_rows
+        img = jnp.asarray(rand_img(8), jnp.float32)
+        got = _shear_rows(img, jnp.full((32,), 5.0))
+        ref = _affine_sample(img, jnp.array([1.0, 0, 5.0, 0, 1.0, 0]))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-3)
+
+    def test_shear_matches_affine_sample(self):
+        from cnsn_tpu.data.augmix_jax import _shear_rows
+        img = jnp.asarray(rand_img(9), jnp.float32)
+        ys = jnp.arange(32, dtype=jnp.float32)
+        got = _shear_rows(img, 0.2 * ys)
+        ref = _affine_sample(img, jnp.array([1.0, 0.2, 0, 0, 1.0, 0]))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-3)
+
+    def test_three_shear_rotation_close_to_direct(self):
+        from cnsn_tpu.data.augmix_jax import _shear_cols, _shear_rows
+        img = jnp.asarray(rand_img(10), jnp.float32)
+        rad = np.deg2rad(20.0)
+        h = w = 32
+        cy = cx = (32 - 1) / 2.0
+        ys = jnp.arange(h, dtype=jnp.float32) - cy
+        xs = jnp.arange(w, dtype=jnp.float32) - cx
+        alpha, beta = -np.tan(rad / 2), np.sin(rad)
+        got = _shear_rows(_shear_cols(_shear_rows(img, alpha * ys),
+                                      beta * xs), alpha * ys)
+        cos, sin = np.cos(rad), np.sin(rad)
+        mat = jnp.array([cos, -sin, cx - cos * cx + sin * cy,
+                         sin, cos, cy - sin * cx - cos * cy])
+        ref = np.asarray(_affine_sample(img, mat))
+        # interiors agree; borders differ by sequential zero-fill +
+        # double filtering
+        inner = np.s_[8:-8, 8:-8]
+        diff = np.abs(np.asarray(got)[inner] - ref[inner])
+        assert np.median(diff) < 12.0, float(np.median(diff))
