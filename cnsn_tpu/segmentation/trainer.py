@@ -164,6 +164,21 @@ class SegTrainer:
         target_sum = np.zeros(cfg.classes)
         has_cn = (cfg.cnsn_type and "cn" in cfg.cnsn_type) or cfg.cn_pos
         t0 = time.time()
+        pending = []  # device-side metrics; resolved lazily (no per-step sync)
+
+        def drain():
+            nonlocal inter_sum, union_sum, target_sum
+            for m, n, step in pending:
+                meters["main"].update(float(m["main_loss"]), n)
+                meters["aux"].update(float(m["aux_loss"]), n)
+                meters["loss"].update(float(m["loss"]), n)
+                inter_sum += np.asarray(m["intersection"])
+                union_sum += np.asarray(m["union"])
+                target_sum += np.asarray(m["target"])
+                self.writer.scalar("loss_train_batch",
+                                   float(m["main_loss"]), step)
+            pending.clear()
+
         for i, (images, labels) in enumerate(self.train_loader):
             im = self.dp.shard_batch(jnp.asarray(images))
             lb = self.dp.shard_batch(jnp.asarray(labels))
@@ -171,16 +186,10 @@ class SegTrainer:
                        and self._gate.rand(1)[0] < cfg.mix_prob)
             fn = self.steps.aug if aug else self.steps.plain
             self.state, m = fn(self.state, im, lb, self._next_key())
-            n = images.shape[0]
-            meters["main"].update(float(m["main_loss"]), n)
-            meters["aux"].update(float(m["aux_loss"]), n)
-            meters["loss"].update(float(m["loss"]), n)
-            inter_sum += np.asarray(m["intersection"])
-            union_sum += np.asarray(m["union"])
-            target_sum += np.asarray(m["target"])
             step = epoch * len(self.train_loader) + i + 1
-            self.writer.scalar("loss_train_batch", meters["main"].val, step)
+            pending.append((m, images.shape[0], step))
             if (i + 1) % cfg.print_freq == 0:
+                drain()
                 miou, macc, aacc = _summarize(inter_sum, union_sum,
                                               target_sum)
                 print(f"Epoch [{epoch + 1}/{cfg.epochs}][{i + 1}/"
@@ -189,6 +198,7 @@ class SegTrainer:
                       f"{meters['aux'].val:.4f} Loss "
                       f"{meters['loss'].val:.4f} mIoU {miou:.4f} "
                       f"({time.time() - t0:.1f}s)")
+        drain()
         miou, macc, aacc = _summarize(inter_sum, union_sum, target_sum)
         self.writer.scalar("mIoU_train", miou, epoch)
         return meters["main"].avg, miou, macc, aacc

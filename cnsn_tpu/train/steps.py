@@ -33,7 +33,7 @@ import optax
 from flax.training import train_state
 
 from ..ops.crossnorm import cross_norm_2ins
-from .losses import cross_entropy, jsd_consistency, softmax_probs
+from .losses import cross_entropy, error_topk, jsd_consistency, softmax_probs
 
 __all__ = ["TrainState", "create_train_state", "sample_cn_mask", "StepFns"]
 
@@ -133,7 +133,8 @@ class StepFns:
         (loss, (stats, logits)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         return self._finish(state, grads, stats,
-                            {"loss": loss, "logits": logits})
+                            {"loss": loss,
+                             "err1": error_topk(logits, labels, 1)})
 
     def _cn(self, state, images, labels, rng):
         k_mask, k_fwd = jax.random.split(rng)
@@ -148,7 +149,8 @@ class StepFns:
         (loss, (stats, logits)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         return self._finish(state, grads, stats,
-                            {"loss": loss, "logits": logits})
+                            {"loss": loss,
+                             "err1": error_topk(logits, labels, 1)})
 
     def _cn_consistency(self, state, images, labels, rng):
         k1m, k1f, k2m, k2f, kc = jax.random.split(rng, 5)
@@ -171,7 +173,7 @@ class StepFns:
             loss_fn, has_aux=True)(state.params)
         return self._finish(state, grads, stats,
                             {"loss": loss, "ce": ce, "jsd": jsd,
-                             "logits": logits})
+                             "err1": error_topk(logits, labels, 1)})
 
     def _augmix_common(self, state, images3, labels, rng, with_cn):
         """images3: (3, B, H, W, C) stacked (clean, aug1, aug2) views."""
@@ -207,7 +209,7 @@ class StepFns:
             loss_fn, has_aux=True)(state.params)
         return self._finish(state, grads, stats,
                             {"loss": loss, "ce": ce, "jsd": jsd,
-                             "logits": logits})
+                             "err1": error_topk(logits, labels, 1)})
 
     def _augmix(self, state, images3, labels, rng):
         return self._augmix_common(state, images3, labels, rng, False)
@@ -233,7 +235,8 @@ class StepFns:
         (loss, (stats, logits)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         return self._finish(state, grads, stats,
-                            {"loss": loss, "logits": logits})
+                            {"loss": loss,
+                             "err1": error_topk(logits, labels, 1)})
 
     def _cn_image_consist(self, state, images, labels, rng):
         kc, ka1, ka2, kf1, kf2 = jax.random.split(rng, 5)
@@ -256,7 +259,7 @@ class StepFns:
             loss_fn, has_aux=True)(state.params)
         return self._finish(state, grads, stats,
                             {"loss": loss, "ce": ce, "jsd": jsd,
-                             "logits": logits})
+                             "err1": error_topk(logits, labels, 1)})
 
     def _cn_image_augmix(self, state, images3, labels, rng):
         """CN (when gated on host) applies to the whole 3B concat
@@ -281,7 +284,7 @@ class StepFns:
             loss_fn, has_aux=True)(state.params)
         return self._finish(state, grads, stats,
                             {"loss": loss, "ce": ce, "jsd": jsd,
-                             "logits": logits})
+                             "err1": error_topk(logits, labels, 1)})
 
     # ----- evaluation ----------------------------------------------------
 

@@ -148,6 +148,9 @@ class Trainer:
         cfg = self.cfg
         losses = AverageMeter()
         regime = cfg.regime
+        # per-step metrics stay on device; resolving them immediately
+        # would sync every step and stall the dispatch pipeline
+        pending = []
         for i, (images, labels) in enumerate(self.train_loader):
             im, lb = self.dp.shard_inputs(jax.numpy.asarray(images),
                                           jax.numpy.asarray(labels))
@@ -176,9 +179,14 @@ class Trainer:
 
             self.state, metrics = fn(self.state, im, lb, key)
             n = labels.shape[-1] if labels.ndim else len(labels)
-            losses.update(float(metrics["loss"]), n)
+            pending.append((metrics["loss"], n))
             if i % cfg.print_freq == 0:
+                for v, m in pending:
+                    losses.update(float(v), m)
+                pending.clear()
                 print(f"Train Loss {losses.avg:.3f}")
+        for v, m in pending:
+            losses.update(float(v), m)
         return losses.avg
 
     # ---- full run --------------------------------------------------------
