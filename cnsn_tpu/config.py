@@ -63,6 +63,7 @@ class ExperimentConfig:
     mixture_width: int = 3
     mixture_depth: int = -1
     all_ops: bool = False
+    ondevice_augmix: bool = False  # generate AugMix views on the TPU
 
     # runtime
     print_freq: int = 10

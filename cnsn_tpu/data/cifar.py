@@ -122,6 +122,11 @@ class CifarLoader:
             labels = self.data.labels[sel]
             if self.mode == "train":
                 batch = np.stack([cifar_train_transform(rng, im) for im in imgs])
+            elif self.mode == "train_geom":
+                # uint8 after flip/crop only — feeds the on-device AugMix
+                batch = np.stack([cifar_train_geom(rng, im) for im in imgs])
+                yield batch, labels
+                continue
             elif self.mode == "train_augmix_nojsd":
                 batch = np.stack([
                     augmix(rng, cifar_train_geom(rng, im), normalize, 32,

@@ -7,8 +7,10 @@ a mask the train step samples once per batch), and the host RNG becomes
 a ``'crossnorm'`` Flax RNG collection — every site derives its own key
 from its module path, so the op is pure, jit-compatible, and replayable.
 
-Inactive sites cost nothing at runtime: the swap is wrapped in a
-``lax.cond`` on the active bit.
+The CrossNorm gate is branchless by default (``impl='fma'``: the
+active bit folds into a fused per-(N, C) scale/shift — measured faster
+on TPU than skipping idle sites with ``lax.cond``), and CNSN sites fuse
+the SelfNorm statistics into the same pass (see CNSN docstring).
 """
 from __future__ import annotations
 

@@ -61,7 +61,11 @@ class Trainer:
                                          synthetic=cfg.synthetic_data)
             self.test_data = load_cifar(cfg.data_dir, cfg.dataset, False,
                                         synthetic=cfg.synthetic_data)
-            mode = ("train_augmix" if "augmix" in cfg.regime else "train")
+            if "augmix" in cfg.regime:
+                mode = ("train_geom" if cfg.ondevice_augmix
+                        else "train_augmix")
+            else:
+                mode = "train"
             self.train_loader = CifarLoader(
                 self.train_data, cfg.batch_size, mode=mode, seed=cfg.seed,
                 aug_severity=cfg.aug_severity,
@@ -151,10 +155,23 @@ class Trainer:
         # per-step metrics stay on device; resolving them immediately
         # would sync every step and stall the dispatch pipeline
         pending = []
+        ondevice = (cfg.ondevice_augmix and "augmix" in regime)
         for i, (images, labels) in enumerate(self.train_loader):
-            im, lb = self.dp.shard_inputs(jax.numpy.asarray(images),
-                                          jax.numpy.asarray(labels))
             key = self._next_key()
+            if ondevice:
+                # uint8 geometry batch → 3 views generated on device
+                from ..data.augmix_jax import augmix_batch
+                u8 = self.dp.shard_batch(jax.numpy.asarray(images))
+                key, k_aug = jax.random.split(key)
+                images = augmix_batch(
+                    k_aug, u8, severity=float(cfg.aug_severity),
+                    mixture_width=cfg.mixture_width,
+                    mixture_depth=cfg.mixture_depth)
+                im = images
+                lb = self.dp.shard_batch(jax.numpy.asarray(labels))
+            else:
+                im, lb = self.dp.shard_inputs(jax.numpy.asarray(images),
+                                              jax.numpy.asarray(labels))
             gate = (cfg.cn_prob is not None
                     and float(self._rng.rand(1)[0]) < cfg.cn_prob)
 
