@@ -7,7 +7,7 @@ imagenet.py:506-521): build by name with the CN/SN knob set
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any
 
 from .allconv import AllConvNet
 from .densenet import DenseNet, densenet

@@ -11,7 +11,7 @@ slices, inserted by GSPMD.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np

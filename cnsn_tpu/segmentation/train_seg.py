@@ -13,7 +13,7 @@ Parity with the reference trainer (segmentation/tool/train_cnsn.py):
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

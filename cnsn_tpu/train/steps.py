@@ -24,8 +24,7 @@ jax.random threaded through the step.
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -9,9 +9,8 @@ from __future__ import annotations
 
 import os
 import shutil
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
-import jax
 from flax import serialization
 
 __all__ = ["save_checkpoint", "load_checkpoint", "restore_state"]

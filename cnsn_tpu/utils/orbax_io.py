@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import signal
 import threading
-from typing import Any, Optional
+from typing import Optional
 
 __all__ = ["OrbaxCheckpointer", "install_preemption_save"]
 
