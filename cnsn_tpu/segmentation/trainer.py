@@ -65,6 +65,11 @@ class SegConfig:
     print_freq: int = 10
     save_path: str = "./exp/seg"
     keep_last: int = 2
+    batch_size_val: Optional[int] = None  # default: batch_size
+    eval_freq: int = 1                    # validate every N epochs
+    save_freq: int = 1                    # checkpoint every N epochs
+    start_epoch: int = 0
+    weight: Optional[str] = None          # init-only checkpoint (params)
     num_devices: Optional[int] = None
     mean: tuple = (0.485 * 255, 0.456 * 255, 0.406 * 255)
     std: tuple = (0.229 * 255, 0.224 * 255, 0.225 * 255)
@@ -122,10 +127,11 @@ class SegTrainer:
                                padding=cfg.mean,
                                ignore_label=cfg.ignore_label),
                           Normalize(cfg.mean, cfg.std)])
-        self.val_loader = (SegLoader(val_dataset, cfg.batch_size, val_tf,
+        bval = cfg.batch_size_val or cfg.batch_size
+        self.val_loader = (SegLoader(val_dataset, bval, val_tf,
                                      shuffle=False, drop_last=False)
                            if val_dataset else None)
-        self.cross_loader = (SegLoader(cross_domain_dataset, cfg.batch_size,
+        self.cross_loader = (SegLoader(cross_domain_dataset, bval,
                                        val_tf, shuffle=False,
                                        drop_last=False)
                              if cross_domain_dataset else None)
@@ -151,6 +157,19 @@ class SegTrainer:
         self._it = 0
         os.makedirs(cfg.save_path, exist_ok=True)
         self.writer = MetricWriter(os.path.join(cfg.save_path, "metrics"))
+        if cfg.weight and os.path.isfile(cfg.weight):
+            # init-only load (reference --weight vs --resume distinction,
+            # train_cnsn.py:179-204): params/batch_stats, no opt state
+            from ..utils.checkpoint import load_checkpoint
+            payload = load_checkpoint(cfg.weight, {
+                "epoch": 0, "best_acc": 0.0,
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "opt_state": self.state.opt_state, "step": 0})
+            self.state = self.state.replace(
+                params=payload["params"],
+                batch_stats=payload["batch_stats"])
+            print(f"=> loaded weight '{cfg.weight}'")
 
     def _next_key(self):
         self._it += 1
@@ -249,13 +268,16 @@ class SegTrainer:
 
     def fit(self, epochs: Optional[int] = None):
         cfg = self.cfg
-        for epoch in range(epochs if epochs is not None else cfg.epochs):
+        end = epochs if epochs is not None else cfg.epochs
+        for epoch in range(cfg.start_epoch, end):
             loss, miou, macc, aacc = self.train_epoch(epoch)
             print(f"Train epoch [{epoch + 1}]: mIoU/mAcc/allAcc "
                   f"{miou:.4f}/{macc:.4f}/{aacc:.4f}")
-            self.save_checkpoint(epoch + 1)
-            if self.val_loader:
-                self.validate()
-            if self.cross_loader:
-                self.validate(self.cross_loader, tag="cross-domain")
+            if (epoch + 1) % cfg.save_freq == 0 or epoch + 1 == end:
+                self.save_checkpoint(epoch + 1)
+            if (epoch + 1) % cfg.eval_freq == 0:
+                if self.val_loader:
+                    self.validate()
+                if self.cross_loader:
+                    self.validate(self.cross_loader, tag="cross-domain")
         return self.state
