@@ -1,0 +1,69 @@
+"""Utility-layer tests: checkify debug wrapper, metric writer, meters,
+profiling timer, schedules."""
+import json
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from cnsn_tpu.train import cosine_lr, imagenet_step_lr, poly_lr, step_lr
+from cnsn_tpu.utils import AverageMeter, get_log_dir_path
+from cnsn_tpu.utils.debug import checked
+from cnsn_tpu.utils.metrics_io import MetricWriter
+from cnsn_tpu.utils.profiling import StepTimer
+
+
+def test_checked_raises_on_nan():
+    f = checked(lambda x: {"loss": jnp.log(x)})
+    assert np.isclose(float(f(jnp.asarray(2.0))["loss"]), np.log(2.0))
+    with pytest.raises(Exception):
+        f(jnp.asarray(-1.0))
+
+
+def test_metric_writer_jsonl(tmp_path):
+    w = MetricWriter(str(tmp_path))
+    w.scalar("loss", 1.5, 3)
+    w.scalar("acc", 0.9, 4)
+    w.close()
+    lines = [json.loads(l) for l in open(w.path)]
+    assert lines[0] == {**lines[0], "tag": "loss", "value": 1.5, "step": 3}
+    assert lines[1]["tag"] == "acc"
+
+
+def test_average_meter():
+    m = AverageMeter()
+    m.update(1.0, 2)
+    m.update(4.0, 1)
+    assert m.val == 4.0 and m.count == 3
+    np.testing.assert_allclose(m.avg, 2.0)
+
+
+def test_log_dir_layout():
+    p = get_log_dir_path("/tmp/exp", "run")
+    parts = p.split(os.sep)
+    assert parts[-2].count("_") == 2  # date stamp
+    assert parts[-1].startswith("run_")
+
+
+def test_step_timer():
+    t = StepTimer()
+    t.data_loaded()
+    t.step_done()
+    assert "Data" in t.summary() and "Batch" in t.summary()
+
+
+def test_schedule_shapes():
+    # imagenet step: /10 at epochs//3 boundaries, batch-scaled
+    s = imagenet_step_lr(0.1, 90, 512, steps_per_epoch=10)
+    np.testing.assert_allclose(float(s(0)), 0.1 * 2.0)
+    np.testing.assert_allclose(float(s(30 * 10)), 0.01 * 2.0)
+    np.testing.assert_allclose(float(s(60 * 10)), 0.001 * 2.0, rtol=1e-6)
+    # poly
+    p = poly_lr(0.01, 100)
+    np.testing.assert_allclose(float(p(0)), 0.01)
+    assert float(p(99)) < 0.001
+    # seg step
+    st = step_lr(0.1, 25, 100)
+    np.testing.assert_allclose(float(st(2499 * 100 // 100)), 0.1 * 0.1 ** (24 // 25))
