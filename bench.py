@@ -1,10 +1,16 @@
 """Throughput benchmark: ResNet-50+CNSN training step on real hardware.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N,
+   "mfu": ..., "ms_per_step": ...}
 
 Baseline: an A100 trains ResNet-50 (synthetic, AMP) at ~2800 img/s;
 BASELINE.json's north star is >= 2x that per chip on v5e.
+
+Env knobs: BENCH_BATCH, BENCH_SIZE, BENCH_ITERS, BENCH_WARMUP,
+BENCH_DTYPE (bf16|fp32), BENCH_CNSN (cnsn|cn|sn|none), BENCH_REMAT,
+BENCH_REGIME (plain to force the plain step), BENCH_STEM (s2d for the
+space-to-depth stem).  XLA_FLAGS passes through to the compiler.
 """
 import json
 import os
@@ -13,11 +19,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Persistent compilation cache: repeated bench configs skip the 3-8 min
+# remote compile (cache is keyed on program + flags, so flag experiments
+# still recompile as they must).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 A100_IMG_PER_SEC = 2800.0
+V5E_BF16_PEAK_FLOPS = 197e12  # per chip
 
 
 def main():
@@ -29,17 +41,17 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     warmup = int(os.environ.get("BENCH_WARMUP", "5"))
 
-    import jax.numpy as jnp
     dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[
         os.environ.get("BENCH_DTYPE", "bf16")]
     cnsn_type = os.environ.get("BENCH_CNSN", "cnsn")
-    if cnsn_type == "none":
-        model = build_model("resnet50", num_classes=1000, dtype=dtype)
-    else:
-        model = build_model("resnet50", num_classes=1000, pos="residual",
-                            cnsn_type=cnsn_type, crop="neither", beta=1.0,
-                            dtype=dtype,
-                            remat=os.environ.get("BENCH_REMAT") == "1")
+    remat = os.environ.get("BENCH_REMAT") == "1"
+    kw = dict(num_classes=1000, dtype=dtype, remat=remat)
+    if os.environ.get("BENCH_STEM"):
+        kw["stem"] = os.environ["BENCH_STEM"]
+    if cnsn_type != "none":
+        kw.update(pos="residual", cnsn_type=cnsn_type, crop="neither",
+                  beta=1.0)
+    model = build_model("resnet50", **kw)
     tx = make_sgd(cosine_lr(0.1, 10_000), weight_decay=1e-4, nesterov=False)
     state = create_train_state(model, jax.random.key(0),
                                (batch, size, size, 3), tx)
@@ -52,26 +64,48 @@ def main():
     # steady-state CN training step (the flagship regime)
     step_fn = (steps.plain if os.environ.get("BENCH_REGIME") == "plain"
                or model.cn_num == 0 else steps.cn)
+
+    # AOT compile once so cost_analysis (exact per-step FLOPs for MFU)
+    # doesn't trigger a second multi-minute remote compile.
+    key0 = jax.random.key(0)
+    compiled = step_fn.lower(state, images, labels, key0).compile()
+    flops = None
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    # pre-create all step keys on device: no host->device transfers
+    # inside the timed loop (the tunnel makes each a latency hit)
+    keys = list(jax.random.split(key0, warmup + iters))
+    jax.block_until_ready(keys[-1])
+
     for i in range(warmup):
-        state, metrics = step_fn(state, images, labels, jax.random.key(i))
-    # force full completion with a host transfer (block_until_ready can be
-    # a no-op on tunneled device buffers)
+        state, metrics = compiled(state, images, labels, keys[i])
+    # force full completion with a host transfer (block_until_ready can
+    # be a no-op on tunneled device buffers)
     float(metrics["loss"])
 
     t0 = time.perf_counter()
     for i in range(iters):
-        state, metrics = step_fn(state, images, labels,
-                                 jax.random.key(100 + i))
+        state, metrics = compiled(state, images, labels, keys[warmup + i])
     float(metrics["loss"])
     dt = time.perf_counter() - t0
 
     img_per_sec = batch * iters / dt
-    print(json.dumps({
+    out = {
         "metric": "resnet50_cnsn_train_throughput",
         "value": round(img_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_sec / A100_IMG_PER_SEC, 4),
-    }))
+        "ms_per_step": round(dt / iters * 1e3, 2),
+    }
+    if flops:
+        out["mfu"] = round(flops * (iters / dt) / V5E_BF16_PEAK_FLOPS, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -54,6 +54,10 @@ class BatchNorm(nn.Module):
     momentum: float = 0.1
     axes: Sequence[int] = (0, 1, 2)
     groups: int = int(os.environ.get("CNSN_BN_GROUPS", "1"))
+    # 'two' = centered two-pass variance (torch parity, accurate);
+    # 'one' = E[x²]−E[x]² single pass (bench A/B only — cancels badly
+    # when mean²≫var).  Env override: CNSN_BN_VAR.
+    var_impl: str = os.environ.get("CNSN_BN_VAR", "two")
 
     @nn.compact
     def __call__(self, x: jax.Array, use_running_average: bool) -> jax.Array:
@@ -71,20 +75,34 @@ class BatchNorm(nn.Module):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
+            # Two-pass (centered) variance: the single-pass
+            # E[x²]−E[x]² form cancels catastrophically once mean²≫var
+            # (post-ReLU activations), compounding through 50+ BN layers
+            # — measured 0.16 logit divergence vs torch on ResNet-50
+            # train mode.  XLA fuses both reduction passes.
             xf = x.astype(jnp.float32)
             if g > 1:
                 xg = xf.reshape((g, x.shape[0] // g) + x.shape[1:])
                 axes = tuple(range(1, xg.ndim - 1))
                 n = math.prod(xg.shape[1:-1])
                 mean = jnp.mean(xg, axis=axes)              # (g, C)
-                var = jnp.mean(jnp.square(xg), axis=axes) - jnp.square(mean)
+                mshape = (g,) + (1,) * (xg.ndim - 2) + (self.features,)
+                var = jnp.mean(jnp.square(xg - mean.reshape(mshape)),
+                               axis=axes)
             else:
                 axes = tuple(self.axes)
                 n = 1
                 for a in axes:
                     n *= x.shape[a]
                 mean = jnp.mean(xf, axis=axes)
-                var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+                if self.var_impl == "one":
+                    var = (jnp.mean(jnp.square(xf), axis=axes)
+                           - jnp.square(mean))
+                else:
+                    mshape = [1] * x.ndim
+                    mshape[-1] = self.features
+                    var = jnp.mean(jnp.square(xf - mean.reshape(mshape)),
+                                   axis=axes)
             if not self.is_initializing():
                 m = self.momentum
                 mean0 = mean[0] if g > 1 else mean
@@ -134,9 +152,13 @@ class BatchNorm1dStats(nn.Module):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
+            # Two-pass centered variance: the per-channel statistics fed
+            # to this BN have var ≪ mean² (a smooth statistic over a
+            # small batch), the worst case for E[y²]−E[y]² cancellation
+            # — measured 1.8e-3 SelfNorm divergence vs torch.
             n = y.shape[0]
             mean = jnp.mean(yf, axis=0)
-            var = jnp.mean(jnp.square(yf), axis=0) - jnp.square(mean)
+            var = jnp.mean(jnp.square(yf - mean), axis=0)
             if not self.is_initializing():
                 unbiased = var * (n / max(n - 1, 1))
                 m = self.momentum
@@ -163,7 +185,7 @@ class InstanceNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
-        var = jnp.mean(jnp.square(xf), axis=(1, 2), keepdims=True) - jnp.square(mean)
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
         out = (xf - mean) * jax.lax.rsqrt(var + self.eps)
         out = out * scale.reshape(1, 1, 1, -1) + bias.reshape(1, 1, 1, -1)
         return out.astype(x.dtype)
@@ -205,7 +227,7 @@ class MultiBatchNorm(nn.Module):
             for a in axes:
                 n *= x.shape[a]
             mean = jnp.mean(xf, axis=axes)
-            var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+            var = jnp.mean(jnp.square(xf - mean), axis=axes)
             if not self.is_initializing():
                 unbiased = var * (n / max(n - 1, 1))
                 m = self.momentum

@@ -14,8 +14,16 @@ Parity notes (checked by tests against torch oracles):
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# 'two' = centered two-pass variance (torch Tensor.var parity: ATen
+# reductions are numerically stable; the single-pass E[x²]−E[x]² form
+# cancels catastrophically in fp32 once mean²≫var, e.g. post-ReLU
+# activations).  'one' kept for bench A/B.
+_VAR_IMPL = os.environ.get("CNSN_STATS_VAR", "two")
 
 __all__ = [
     "instance_mean_std",
@@ -36,8 +44,11 @@ def instance_mean_std(x: jax.Array, eps: float = 1e-5, ddof: int = 1,
     xf = x.astype(jnp.float32)
     n = x.shape[1] * x.shape[2]
     mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
-    # E[x^2] - E[x]^2, rescaled for the requested ddof.
-    var = jnp.mean(jnp.square(xf), axis=(1, 2), keepdims=True) - jnp.square(mean)
+    if _VAR_IMPL == "one":
+        var = (jnp.mean(jnp.square(xf), axis=(1, 2), keepdims=True)
+               - jnp.square(mean))
+    else:
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
     if ddof:
         var = var * (n / max(n - ddof, 1))
     std = jnp.sqrt(var + eps)
@@ -80,9 +91,13 @@ def masked_instance_mean_std(
     m = jnp.broadcast_to(mask.astype(jnp.float32), (x.shape[0], x.shape[1], x.shape[2], 1))
     n = jnp.sum(m, axis=(1, 2), keepdims=True)
     s1 = jnp.sum(xf * m, axis=(1, 2), keepdims=True)
-    s2 = jnp.sum(jnp.square(xf) * m, axis=(1, 2), keepdims=True)
     mean = s1 / n
-    var = s2 / n - jnp.square(mean)
+    if _VAR_IMPL == "one":
+        s2 = jnp.sum(jnp.square(xf) * m, axis=(1, 2), keepdims=True)
+        var = s2 / n - jnp.square(mean)
+    else:
+        var = jnp.sum(jnp.square(xf - mean) * m, axis=(1, 2),
+                      keepdims=True) / n
     if ddof:
         denom = jnp.maximum(n - ddof, 1.0)
         var = var * (n / denom)

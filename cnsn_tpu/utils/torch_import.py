@@ -21,7 +21,8 @@ from typing import Any, Dict, Mapping, Tuple
 
 import numpy as np
 
-__all__ = ["convert_state_dict", "import_torch_checkpoint"]
+__all__ = ["convert_state_dict", "import_torch_checkpoint",
+           "allconv_key_map"]
 
 
 def _np(t) -> np.ndarray:
@@ -68,14 +69,27 @@ def _translate(key: str) -> Tuple[Tuple[str, ...], str]:
     i = 0
     while i < len(mods):
         m = mods[i]
-        if m.startswith(("layer", "block", "stage", "dense")) and \
+        if m.startswith("stage_") and i + 1 < len(mods) and \
+                mods[i + 1].isdigit():
+            # resnext stage_1.0 → stage1_0
+            out.append(f"stage{m[len('stage_'):]}_{mods[i + 1]}")
+            i += 2
+        elif m.startswith("trans") and i + 1 < len(mods) and \
+                mods[i + 1] in ("bn1", "conv1"):
+            # densenet Transition trans1.bn1/conv1 → trans1_bn/trans1_conv
+            out.append(f"{m}_{mods[i + 1][:-1]}")
+            i += 2
+        elif m == "layer" and out and i + 1 < len(mods) and \
+                mods[i + 1].isdigit():
+            # wideresnet NetworkBlock inner Sequential: merge into parent
+            # (must precede the generic layerN rule: bare "layer" would
+            # otherwise become a spurious "layer_0" path element)
+            out[-1] = f"{out[-1]}_{mods[i + 1]}"
+            i += 2
+        elif m.startswith(("layer", "block", "stage", "dense")) and \
                 i + 1 < len(mods) and mods[i + 1].isdigit():
             # layer1.0 → layer1_0 ; block1.layer.0 → block1_0
             out.append(f"{m}_{mods[i + 1]}")
-            i += 2
-        elif m == "layer" and i + 1 < len(mods) and mods[i + 1].isdigit():
-            # wideresnet NetworkBlock inner Sequential: merge into parent
-            out[-1] = f"{out[-1]}_{mods[i + 1]}"
             i += 2
         elif m == "downsample" and i + 1 < len(mods):
             out.append("downsample_conv" if mods[i + 1] == "0"
@@ -96,17 +110,46 @@ def _translate(key: str) -> Tuple[Tuple[str, ...], str]:
     return tuple(out), kind
 
 
+def allconv_key_map(pos: int) -> Dict[str, str]:
+    """Prefix map for the reference AllConvNet's ``features`` Sequential
+    (models/cifar/allconv_cnsn.py:18-97): each conv entry expands to
+    [conv, BN, GELU] with the CNSN spliced at index ``pos``, so the flat
+    Sequential indices depend on pos.  Maps 'features.<seq>' onto our
+    per-CFG-entry names conv_<li>/bn_<li>/cnsn_<li>."""
+    cfg = (96, 96, 96, "Md", 192, 192, 192, "Md", "nopad", "NIN", "NIN", "A")
+    m: Dict[str, str] = {}
+    seq = 0
+    for li, v in enumerate(cfg):
+        if v == "Md":
+            seq += 2  # maxpool, dropout (paramless)
+            continue
+        if v == "A":
+            seq += 1
+            continue
+        idxs = {"conv": 0, "bn": 1}
+        for k in idxs:
+            if idxs[k] >= pos:
+                idxs[k] += 1  # cnsn inserted before it
+        m[f"features.{seq + idxs['conv']}"] = f"conv_{li}"
+        m[f"features.{seq + idxs['bn']}"] = f"bn_{li}"
+        m[f"features.{seq + pos}"] = f"cnsn_{li}"
+        seq += 4
+    return m
+
+
 def convert_state_dict(state_dict: Mapping[str, Any],
                        params: Dict[str, Any],
                        batch_stats: Dict[str, Any],
                        strict: bool = False,
-                       prefix: Tuple[str, ...] = ()):
+                       prefix: Tuple[str, ...] = (),
+                       key_map: Mapping[str, str] | None = None):
     """Convert + load a torch state_dict into (params, batch_stats)
     copies.  Returns (params, batch_stats, missing_keys).
 
     ``prefix`` roots every translated path under a module (e.g.
     ('backbone',) to load a torchvision resnet into the segmentation
-    backbone)."""
+    backbone).  ``key_map`` rewrites dotted key prefixes before the
+    generic translation (model-specific layouts, e.g. allconv_key_map)."""
     import jax
 
     params = jax.tree.map(np.asarray, params)
@@ -114,6 +157,12 @@ def convert_state_dict(state_dict: Mapping[str, Any],
     missing = []
 
     for key, value in state_dict.items():
+        if key_map:
+            k = key.removeprefix("module.")
+            for pre, repl in key_map.items():
+                if k == pre or k.startswith(pre + "."):
+                    key = repl + k[len(pre):]
+                    break
         path, kind = _translate(key)
         path = prefix + path
         if kind == "skip":

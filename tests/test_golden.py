@@ -1,0 +1,177 @@
+"""Full-model golden parity vs the actual reference implementation.
+
+Builds the reference's torch models straight from /root/reference
+(oracle only — no reference code enters the repo), pulls their
+state_dict through utils/torch_import, and asserts eval logits match.
+This demonstrates BASELINE.md's "bit-for-bit clean eval vs knobs"
+end-to-end (reference models: models/cifar/*.py:*,
+models/imagenet/resnet_cnsn.py:127-323,
+models/imagenet/resnet_ibn_cnsn.py:132-315).
+"""
+import contextlib
+import io
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from cnsn_tpu.models import build_model
+from cnsn_tpu.utils.torch_import import allconv_key_map, convert_state_dict
+
+REFERENCE = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                                reason="reference repo not available")
+if REFERENCE not in sys.path:
+    sys.path.insert(0, REFERENCE)
+
+
+def _quiet(fn, *args, **kw):
+    """The reference constructors print a line per CNSN site; also pin
+    the torch RNG so each model's random init is reproducible."""
+    torch.manual_seed(0)
+    with contextlib.redirect_stdout(io.StringIO()):
+        return fn(*args, **kw)
+
+
+def _randomize_running_stats(tmodel, seed=0):
+    """Perturb BN running stats so eval-mode parity actually exercises
+    the imported batch_stats (fresh models have mean=0/var=1)."""
+    g = torch.Generator().manual_seed(seed)
+    for m in tmodel.modules():
+        if hasattr(m, "running_mean") and m.running_mean is not None:
+            with torch.no_grad():
+                m.running_mean.normal_(0.0, 0.5, generator=g)
+                m.running_var.uniform_(0.5, 2.0, generator=g)
+
+
+def _import_and_compare(tmodel, fmodel, x_nhwc, key_map=None,
+                        rtol=1e-4, atol=1e-4, train_loss=False):
+    """Eval-logit parity at 1e-4 plus (optional) one train-mode forward
+    loss check.  The train check needs a decent batch: SelfNorm's g_bn
+    normalizes per-channel statistics ACROSS the batch, so with N=2 the
+    batch variance can be ~0 and 1/sqrt(var+eps) amplifies fp32 noise
+    unboundedly; at N≥8 the comparison is well-conditioned to ~1e-4."""
+    tmodel = tmodel.eval()
+    _randomize_running_stats(tmodel)
+
+    variables = fmodel.init({"params": jax.random.key(0)},
+                            jnp.asarray(x_nhwc), False, None)
+    params, stats, missing = convert_state_dict(
+        tmodel.state_dict(), dict(variables["params"]),
+        dict(variables.get("batch_stats", {})), strict=True,
+        key_map=key_map)
+    assert not missing, missing
+
+    xt = torch.from_numpy(x_nhwc.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        t_logits = tmodel(xt).numpy()
+    f_logits = np.asarray(fmodel.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x_nhwc),
+        False, None))
+    np.testing.assert_allclose(t_logits, f_logits, rtol=rtol, atol=atol)
+
+    if train_loss:
+        # one train-mode forward (BN batch stats, CN inactive): CE loss
+        # parity (reference train-mode semantics, cifar.py:93-114)
+        xb = np.concatenate([x_nhwc] * max(1, 16 // x_nhwc.shape[0]))
+        xb = xb + _x(xb.shape, seed=7) * 0.1  # decorrelate the copies
+        labels = np.arange(xb.shape[0]) % t_logits.shape[1]
+        xbt = torch.from_numpy(xb.transpose(0, 3, 1, 2))
+        tmodel.train()
+        with torch.no_grad():
+            t_loss = torch.nn.functional.cross_entropy(
+                tmodel(xbt), torch.from_numpy(labels)).item()
+        f_out, _ = fmodel.apply(
+            {"params": params, "batch_stats": stats}, jnp.asarray(xb),
+            True, None, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.key(1)})
+        logp = jax.nn.log_softmax(f_out.astype(jnp.float32))
+        f_loss = float(-jnp.mean(logp[np.arange(len(labels)), labels]))
+        assert abs(t_loss - f_loss) < 5e-4, (t_loss, f_loss)
+
+
+def _cfg(**kw):
+    return types.SimpleNamespace(**kw)
+
+
+def _x(shape, seed=0):
+    return np.random.RandomState(seed).randn(*shape).astype(np.float32)
+
+
+def test_golden_wideresnet():
+    from models.cifar.wideresnet_cnsn import WideResNet as TorchWRN
+    t = _quiet(TorchWRN, 40, 100, 2, 0.0, active_num=2, pos="post",
+               beta=1.0, crop="both", cnsn_type="cnsn")
+    f = build_model("wideresnet", num_classes=100, pos="post", beta=1.0,
+                    crop="both", cnsn_type="cnsn")
+    _import_and_compare(t, f, _x((4, 32, 32, 3)), train_loss=True)
+
+
+def test_golden_wideresnet_pre_quirk():
+    """pos='pre' with unequal in/out channels sizes SN by in_planes
+    (reference wideresnet_cnsn.py:53-57)."""
+    from models.cifar.wideresnet_cnsn import WideResNet as TorchWRN
+    t = _quiet(TorchWRN, 40, 10, 2, 0.0, active_num=2, pos="pre",
+               beta=1.0, crop="neither", cnsn_type="sn")
+    f = build_model("wideresnet", num_classes=10, pos="pre", beta=1.0,
+                    crop="neither", cnsn_type="sn")
+    _import_and_compare(t, f, _x((4, 32, 32, 3)))
+
+
+def test_golden_allconv():
+    from models.cifar.allconv_cnsn import AllConvNet as TorchAllConv
+    t = _quiet(TorchAllConv, 10, active_num=1, pos=1, beta=1.0,
+               crop="neither", cnsn_type="cnsn")
+    f = build_model("allconv", num_classes=10, pos=1, beta=1.0,
+                    crop="neither", cnsn_type="cnsn")
+    _import_and_compare(t, f, _x((4, 32, 32, 3)),
+                        key_map=allconv_key_map(1))
+
+
+def test_golden_densenet():
+    from models.cifar.densenet_cnsn import densenet as torch_densenet
+    cfg = _cfg(active_num=1, pos="conv1_post", beta=1.0, crop="both",
+               cnsn_type="cnsn")
+    t = _quiet(torch_densenet, 12, 40, 100, cfg)
+    f = build_model("densenet", num_classes=100, pos="conv1_post",
+                    beta=1.0, crop="both", cnsn_type="cnsn")
+    _import_and_compare(t, f, _x((4, 32, 32, 3)))
+
+
+def test_golden_resnext():
+    from models.cifar.resnext_cnsn import resnext29 as torch_resnext29
+    cfg = _cfg(active_num=1, pos="residual", beta=1.0, crop="neither",
+               cnsn_type="cnsn")
+    t = _quiet(torch_resnext29, 10, 4, 32, cfg)
+    f = build_model("resnext", num_classes=10, pos="residual", beta=1.0,
+                    crop="neither", cnsn_type="cnsn")
+    _import_and_compare(t, f, _x((4, 32, 32, 3)))
+
+
+def test_golden_resnet50():
+    from models.imagenet.resnet_cnsn import resnet50 as torch_resnet50
+    cfg = _cfg(active_num=1, pos="residual", beta=1.0, crop="neither",
+               cnsn_type="cnsn")
+    t = _quiet(torch_resnet50, cfg)
+    f = build_model("resnet50", num_classes=1000, pos="residual",
+                    beta=1.0, crop="neither", cnsn_type="cnsn")
+    _import_and_compare(t, f, _x((2, 64, 64, 3)), train_loss=True)
+
+
+def test_golden_resnet50_ibn_b():
+    from models.imagenet.resnet_ibn_cnsn import (
+        resnet50_ibn_b as torch_ibn_b)
+    cfg = _cfg(active_num=1, pos="residual", beta=1.0, crop="neither",
+               cnsn_type="sn")
+    t = _quiet(torch_ibn_b, cfg)
+    f = build_model("resnet50_ibn_b", num_classes=1000, pos="residual",
+                    beta=1.0, crop="neither", cnsn_type="sn")
+    # the reference IBN ResNet uses a fixed AvgPool2d(7): input must be
+    # 224² (resnet_ibn_cnsn.py head)
+    _import_and_compare(t, f, _x((2, 224, 224, 3)))
