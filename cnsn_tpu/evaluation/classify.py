@@ -27,24 +27,56 @@ ALEXNET_ERR = (
 )
 
 
-def evaluate(eval_step: Callable, state, loader: Iterable) -> Tuple[float, float]:
-    """Returns (avg loss over dataset, accuracy)."""
-    total_loss, total_correct, total = 0.0, 0, 0
-    num_batches = 0
+def evaluate(eval_step: Callable, state, loader: Iterable,
+             dp=None) -> Tuple[float, float]:
+    """Returns (avg loss over dataset, accuracy).
+
+    ``eval_step`` must be the padding-aware summing step
+    (``StepFns.eval_sum``): per-batch results stay on device and
+    accumulate there, so the whole loader costs ONE host sync (the
+    reference loop host-syncs per batch, cifar.py:275-289).  With
+    ``dp`` (a ``parallel.DataParallel``), every batch is sharded over
+    the data mesh — the TPU analogue of DataParallel eval scatter.
+    Short final batches are padded with label −1 (masked inside the
+    step) so XLA shapes stay static across the loader.
+    """
+    import jax.numpy as jnp
+
+    total_loss = total_correct = total = None
     for images, labels in loader:
-        out = eval_step(state, images, labels)
-        total_loss += float(out["loss"])
-        total_correct += int(out["correct"])
-        total += len(labels)
-        num_batches += 1
+        images = np.asarray(images)
+        labels = np.asarray(labels).astype(np.int32)
+        full = getattr(loader, "batch_size", len(labels))
+        if dp is not None and full % dp.num_shards != 0:
+            full += dp.num_shards - full % dp.num_shards
+        if len(labels) < full:
+            pad = full - len(labels)
+            images = np.concatenate(
+                [images, np.zeros((pad,) + images.shape[1:], images.dtype)])
+            labels = np.concatenate([labels, np.full((pad,), -1, np.int32)])
+        im, lb = jnp.asarray(images), jnp.asarray(labels)
+        if dp is not None:
+            im, lb = dp.shard_inputs(im, lb)
+        out = eval_step(state, im, lb)
+        if total_loss is None:
+            total_loss, total_correct, total = (out["loss"], out["correct"],
+                                                out["n"])
+        else:  # device-side accumulation: no per-batch host sync
+            total_loss = total_loss + out["loss"]
+            total_correct = total_correct + out["correct"]
+            total = total + out["n"]
+    if total_loss is None:
+        return 0.0, 0.0
+    n = max(int(total), 1)
     # reference: total of per-batch mean losses / len(dataset)
-    return total_loss / max(total, 1), total_correct / max(total, 1)
+    return float(total_loss) / n, int(total_correct) / n
 
 
 def evaluate_cifar_c(eval_step: Callable, state, corrupt_dir: str,
                      num_classes: int, batch_size: int = 1000,
                      corruptions: Sequence[str] = CORRUPTIONS,
-                     verbose: bool = True) -> Tuple[float, Dict[str, float]]:
+                     verbose: bool = True,
+                     dp=None) -> Tuple[float, Dict[str, float]]:
     """Mean accuracy over the corruption suite; prints per-corruption
     error like the reference."""
     accs = {}
@@ -52,7 +84,7 @@ def evaluate_cifar_c(eval_step: Callable, state, corrupt_dir: str,
         images, labels = load_cifar_c(corrupt_dir, corruption)
         data = CifarData(images, labels, num_classes)
         loader = CifarLoader(data, batch_size, mode="eval")
-        loss, acc = evaluate(eval_step, state, loader)
+        loss, acc = evaluate(eval_step, state, loader, dp=dp)
         accs[corruption] = acc
         if verbose:
             print(f"{corruption}\n\tTest Loss {loss:.3f} | "

@@ -100,6 +100,7 @@ class StepFns:
         self.cn_image_augmix = jax.jit(self._cn_image_augmix, donate_argnums=dn)
         self.augmix_plain = jax.jit(self._augmix_plain, donate_argnums=dn)
         self.eval_step = jax.jit(self._eval)
+        self.eval_sum = jax.jit(self._eval_sum)
 
     # ----- forward helpers ---------------------------------------------
 
@@ -294,3 +295,22 @@ class StepFns:
         loss = cross_entropy(logits, labels)
         correct = jnp.sum(jnp.argmax(logits, -1) == labels)
         return {"loss": loss, "correct": correct, "logits": logits}
+
+    def _eval_sum(self, state, images, labels):
+        """Sharded-eval step: labels < 0 mark padding rows (masked out).
+
+        Returns small device scalars only — no logits — so the caller
+        accumulates across batches on device and host-syncs once per
+        loader instead of once per batch (reference eval loop semantics,
+        cifar.py:275-289, with DataParallel batch scatter)."""
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        logits = self.model.apply(variables, images, False, None)
+        valid = labels >= 0
+        safe = jnp.maximum(labels, 0)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+        ce = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
+        n = jnp.sum(valid)
+        loss = jnp.sum(jnp.where(valid, ce, 0.0)) / jnp.maximum(n, 1)
+        correct = jnp.sum((jnp.argmax(logits, -1) == labels) & valid)
+        return {"loss": loss, "correct": correct, "n": n}

@@ -209,7 +209,8 @@ class Trainer:
     # ---- full run --------------------------------------------------------
 
     def evaluate_clean(self):
-        return evaluate(self.steps.eval_step, self.state, self.test_loader)
+        return evaluate(self.steps.eval_sum, self.state, self.test_loader,
+                        dp=self.dp)
 
     def fit(self, epochs: Optional[int] = None) -> float:
         cfg = self.cfg
@@ -246,8 +247,8 @@ class Trainer:
         if cfg.dataset == "imagenet":
             return self._test_corruptions_imagenet()
         mean_acc, _ = evaluate_cifar_c(
-            self.steps.eval_step, self.state, cfg.corrupt_data_dir,
-            cfg.num_classes, cfg.eval_batch_size)
+            self.steps.eval_sum, self.state, cfg.corrupt_data_dir,
+            cfg.num_classes, cfg.eval_batch_size, dp=self.dp)
         print(f"Mean Corruption Error: {100 - 100. * mean_acc:.3f}")
         return mean_acc
 
@@ -267,7 +268,8 @@ class Trainer:
                 loader = ImageNetLoader(scan_image_folder(d),
                                         cfg.eval_batch_size, mode="eval",
                                         workers=cfg.workers)
-                _, acc = evaluate(self.steps.eval_step, self.state, loader)
+                _, acc = evaluate(self.steps.eval_sum, self.state, loader,
+                                  dp=self.dp)
                 accs.append(acc)
             corruption_accs[corruption] = accs
             print(f"{corruption}: avg err "

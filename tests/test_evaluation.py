@@ -30,11 +30,35 @@ def test_evaluate_cifar_c_synthetic(tmp_path, small_model_state):
     for c in CORRUPTIONS[:3]:
         np.save(tmp_path / f"{c}.npy",
                 rng.randint(0, 256, (50, 32, 32, 3)).astype(np.uint8))
-    mean_acc, accs = evaluate_cifar_c(steps.eval_step, state, str(tmp_path),
+    mean_acc, accs = evaluate_cifar_c(steps.eval_sum, state, str(tmp_path),
                                       10, batch_size=25,
                                       corruptions=CORRUPTIONS[:3],
                                       verbose=False)
     assert 0.0 <= mean_acc <= 1.0 and len(accs) == 3
+
+
+def test_sharded_eval_matches_single_device(small_model_state):
+    """evaluate() over an 8-device mesh == single-device evaluate, incl.
+    a short (padded) final batch (VERDICT r1 item 4)."""
+    from cnsn_tpu.data.cifar import CifarData, CifarLoader
+    from cnsn_tpu.parallel import DataParallel, make_mesh
+
+    model, state, steps = small_model_state
+    rng = np.random.RandomState(3)
+    images = rng.randint(0, 256, (44, 32, 32, 3)).astype(np.uint8)
+    labels = rng.randint(0, 10, 44).astype(np.int64)
+    data = CifarData(images, labels, 10)
+
+    def fresh_loader():
+        return CifarLoader(data, 16, mode="eval")  # 16,16,12 → last padded
+
+    loss1, acc1 = evaluate(steps.eval_sum, state, fresh_loader())
+
+    dp = DataParallel(make_mesh(8))
+    state_r = dp.replicate(state)
+    loss8, acc8 = evaluate(steps.eval_sum, state_r, fresh_loader(), dp=dp)
+    np.testing.assert_allclose(loss8, loss1, rtol=1e-5)
+    assert acc8 == acc1
 
 
 def test_compute_mce_normalization():
