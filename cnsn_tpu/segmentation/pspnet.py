@@ -23,7 +23,8 @@ from ..models.common import he_fanout_normal
 from ..nn.norm import BatchNorm
 from .backbone import seg_resnet50
 
-__all__ = ["PPM", "PSPNet", "PSANet"]
+__all__ = ["PPM", "PSPNet", "PSA", "PSANet", "PSALite",
+           "psa_mask_indices"]
 
 
 def _resize_align_corners(x: jax.Array, hw: Tuple[int, int]) -> jax.Array:
@@ -150,10 +151,206 @@ class PSPNet(nn.Module):
         return out.astype(jnp.float32), aux.astype(jnp.float32)
 
 
+def psa_mask_indices(h: int, w: int, mask_h: int, mask_w: int) -> "np.ndarray":
+    """Static index map for the reference's psa_mask CUDA op
+    (segmentation/lib/psa, called at psanet.py:67,85-86).
+
+    Returns idx of shape (h*w, h*w): idx[g, p] is the channel of the
+    over-complete (mask_h*mask_w)-deep attention map at position p that
+    lands on global position g, or the sentinel mask_h*mask_w when g is
+    outside p's mask window (those entries read a zero-padded channel —
+    torch zero-fills the buffer, and the zeros participate in the
+    softmax, which this reproduces exactly).
+    """
+    import numpy as np
+    half_h, half_w = (mask_h - 1) // 2, (mask_w - 1) // 2
+    a, i = np.meshgrid(np.arange(h), np.arange(h), indexing="ij")
+    dh = a - i + half_h                       # (h_global, h_pos)
+    b, j = np.meshgrid(np.arange(w), np.arange(w), indexing="ij")
+    dw = b - j + half_w                       # (w_global, w_pos)
+    ok = ((dh >= 0) & (dh < mask_h))[:, None, :, None] \
+        & ((dw >= 0) & (dw < mask_w))[None, :, None, :]
+    idx = dh[:, None, :, None] * mask_w + dw[None, :, None, :]
+    idx = np.where(ok, idx, mask_h * mask_w)
+    return idx.reshape(h * w, h * w).astype(np.int32)
+
+
+class PSA(nn.Module):
+    """Point-wise Spatial Attention module — full parity redesign of the
+    reference PSA (segmentation/model/psanet.py:9-98).
+
+    psa_type: 0=collect, 1=distribute, 2=bi-direction (both branches).
+    The CUDA psa_mask scatter becomes one static gather
+    (``psa_mask_indices`` + take_along_axis); the (h*w, h*w) attention
+    bmm maps onto the MXU as a batched einsum.
+    """
+
+    in_channels: int = 2048
+    mid_channels: int = 512
+    psa_type: int = 2
+    compact: bool = False
+    shrink_factor: int = 2
+    mask_h: int = 0        # 0 → auto: 2*((shrunk h)-1)+1, i.e. 2h-1
+    mask_w: int = 0
+    normalization_factor: float = 1.0
+    psa_softmax: bool = True
+    dtype: Any = None
+
+    def _reduce(self, x, train, name):
+        x = nn.Conv(self.mid_channels, (1, 1), use_bias=False,
+                    kernel_init=he_fanout_normal, dtype=self.dtype,
+                    param_dtype=jnp.float32, name=f"{name}_conv")(x)
+        return nn.relu(BatchNorm(self.mid_channels,
+                                 name=f"{name}_bn")(x, not train))
+
+    def _attention(self, x, train, mask_hw, name):
+        x = nn.Conv(self.mid_channels, (1, 1), use_bias=False,
+                    kernel_init=he_fanout_normal, dtype=self.dtype,
+                    param_dtype=jnp.float32, name=f"{name}_conv1")(x)
+        x = nn.relu(BatchNorm(self.mid_channels,
+                              name=f"{name}_bn")(x, not train))
+        return nn.Conv(mask_hw, (1, 1), use_bias=False,
+                       kernel_init=he_fanout_normal, dtype=self.dtype,
+                       param_dtype=jnp.float32, name=f"{name}_conv2")(x)
+
+    def _expand(self, y, idx):
+        """(n, h, w, M) over-complete map → (n, h*w, h*w) attention in
+        collect orientation (global axis first)."""
+        n, h, w, m = y.shape
+        yp = jnp.concatenate(
+            [y.reshape(n, h * w, m).transpose(0, 2, 1),
+             jnp.zeros((n, 1, h * w), y.dtype)], axis=1)  # (n, M+1, P)
+        return jnp.take_along_axis(yp, idx[None], axis=1)  # (n, G, P)
+
+    def _branch(self, feat, attn_raw, idx, distribute: bool):
+        n, h, w, c = feat.shape
+        if self.compact:
+            a = attn_raw.reshape(n, h * w, h * w).transpose(0, 2, 1)
+        else:
+            a = self._expand(attn_raw, idx)
+        if distribute:
+            a = a.transpose(0, 2, 1)
+        if self.psa_softmax:
+            a = jax.nn.softmax(a.astype(jnp.float32), axis=1)
+        out = jnp.einsum("nqc,nqp->npc",
+                         feat.reshape(n, h * w, c).astype(jnp.float32),
+                         a.astype(jnp.float32))
+        return (out / self.normalization_factor).reshape(
+            n, h, w, c).astype(feat.dtype)
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        fh, fw = x.shape[1:3]
+        out = x
+        sf = self.shrink_factor
+        h = (fh - 1) // sf + 1
+        w = (fw - 1) // sf + 1
+        assert (fh - 1) % sf == 0 and (fw - 1) % sf == 0, (
+            "feature size must satisfy (size-1) % shrink_factor == 0 "
+            "(same constraint as the reference's F.interpolate round-trip)")
+        mask_h = self.mask_h or 2 * h - 1
+        mask_w = self.mask_w or 2 * w - 1
+        mask_hw = h * w if self.compact else mask_h * mask_w
+        idx = None
+        if not self.compact:
+            idx = jnp.asarray(psa_mask_indices(h, w, mask_h, mask_w))
+
+        if self.psa_type in (0, 1):
+            z = self._reduce(x, train, "reduce")
+            if sf != 1:
+                z = _resize_align_corners(z, (h, w))
+            y = self._attention(z, train, mask_hw, "attention")
+            z = self._branch(z, y, idx, distribute=(self.psa_type == 1))
+        else:
+            z_col = self._reduce(x, train, "reduce")
+            z_dis = self._reduce(x, train, "reduce_p")
+            if sf != 1:
+                z_col = _resize_align_corners(z_col, (h, w))
+                z_dis = _resize_align_corners(z_dis, (h, w))
+            y_col = self._attention(z_col, train, mask_hw, "attention")
+            y_dis = self._attention(z_dis, train, mask_hw, "attention_p")
+            z = jnp.concatenate(
+                [self._branch(z_col, y_col, idx, distribute=False),
+                 self._branch(z_dis, y_dis, idx, distribute=True)], axis=-1)
+
+        z = nn.Conv(self.in_channels, (1, 1), use_bias=False,
+                    kernel_init=he_fanout_normal, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="proj_conv")(z)
+        z = nn.relu(BatchNorm(self.in_channels, name="proj_bn")(z, not train))
+        if sf != 1:
+            z = _resize_align_corners(z, (fh, fw))
+        return jnp.concatenate([out, z], axis=-1)
+
+
 class PSANet(nn.Module):
-    """Point-wise Spatial Attention head (reference psanet.py:101-160 —
-    a dead path there; implemented here in its 'collect' form with a
-    learned per-position attention over a pooled spatial grid)."""
+    """Point-wise Spatial Attention network (reference
+    psanet.py:101-179), on the CNSN-capable dilated backbone: PSA
+    module on layer4, 4096-wide cls head, aux head on layer3.  A dead
+    path in the reference (its layer0 contract never matched
+    model/resnet.py) — functional here, with the reference's intended
+    semantics."""
+
+    classes: int = 19
+    psa_type: int = 2
+    compact: bool = False
+    shrink_factor: int = 2
+    mask_h: int = 0
+    mask_w: int = 0
+    normalization_factor: float = 1.0
+    psa_softmax: bool = True
+    dropout: float = 0.1
+    zoom_factor: int = 8
+    block_idxs: str = ""
+    pos: Optional[str] = None
+    cn_pos: Optional[str] = None
+    cnsn_type: Optional[str] = None
+    crop: str = "neither"
+    beta: float = 1.0
+    num_groups: int = 1
+    dtype: Any = None
+    remat: bool = False
+
+    @property
+    def cn_num(self) -> int:
+        return seg_resnet50(block_idxs=self.block_idxs,
+                            cnsn_type=self.cnsn_type).cn_num
+
+    @property
+    def has_img_cn(self) -> bool:
+        return seg_resnet50(block_idxs=self.block_idxs,
+                            cnsn_type=self.cnsn_type).has_img_cn
+
+    @nn.compact
+    def __call__(self, x, train: bool = False,
+                 cn_active: Optional[jax.Array] = None,
+                 img_cn_active: Optional[jax.Array] = None):
+        h = (x.shape[1] - 1) // 8 * self.zoom_factor + 1
+        w = (x.shape[2] - 1) // 8 * self.zoom_factor + 1
+        feats = seg_resnet50(
+            block_idxs=self.block_idxs, pos=self.pos, cn_pos=self.cn_pos,
+            cnsn_type=self.cnsn_type, crop=self.crop, beta=self.beta,
+            num_groups=self.num_groups, dtype=self.dtype, remat=self.remat,
+            name="backbone")(x, train, cn_active, img_cn_active)
+        z = PSA(in_channels=2048, mid_channels=512, psa_type=self.psa_type,
+                compact=self.compact, shrink_factor=self.shrink_factor,
+                mask_h=self.mask_h, mask_w=self.mask_w,
+                normalization_factor=self.normalization_factor,
+                psa_softmax=self.psa_softmax, dtype=self.dtype,
+                name="psa")(feats["out"], train)
+        out = _ClsHead(512, self.classes, self.dropout, dtype=self.dtype,
+                       name="cls")(z, train)
+        aux = _ClsHead(256, self.classes, self.dropout, dtype=self.dtype,
+                       name="aux")(feats["aux"], train)
+        if self.zoom_factor != 1:
+            out = _resize_align_corners(out.astype(jnp.float32), (h, w))
+            aux = _resize_align_corners(aux.astype(jnp.float32), (h, w))
+        return out.astype(jnp.float32), aux.astype(jnp.float32)
+
+
+class PSALite(nn.Module):
+    """Compact PSA variant (not in the reference): learned per-position
+    attention over a pooled spatial grid instead of the full point-wise
+    map — O(P·G_pool) instead of O(P²) memory."""
 
     classes: int = 19
     psa_dim: int = 512

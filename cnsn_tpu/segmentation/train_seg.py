@@ -67,8 +67,8 @@ def make_seg_optimizer(params, base_lr: float, max_iter: int,
                        weight_decay: float = 1e-4,
                        head_prefixes: Tuple[str, ...] = (
                            "classifier", "aux_classifier",
-                           "ppm", "cls", "aux", "psa_reduce", "psa_bn",
-                           "psa_attn")):
+                           "ppm", "cls", "aux", "psa", "psa_reduce",
+                           "psa_bn", "psa_attn")):
     """SGD + poly schedule; head param groups get 10x lr (applied after
     the momentum trace, matching torch per-group lr)."""
     sched = poly_lr(base_lr, max_iter, power)

@@ -25,7 +25,7 @@ from ..utils.metrics_io import MetricWriter
 from .data import (Compose, Crop, Normalize, RandRotate, RandScale,
                    RandomGaussianBlur, RandomHorizontalFlip, SegLoader)
 from .fcn import fcn_baseline, fcn_cnsn
-from .pspnet import PSANet, PSPNet
+from .pspnet import PSALite, PSANet, PSPNet
 from .train_seg import SegStepFns, SegTrainState, make_seg_optimizer
 
 __all__ = ["SegConfig", "SegTrainer", "build_seg_model",
@@ -35,7 +35,7 @@ __all__ = ["SegConfig", "SegTrainer", "build_seg_model",
 @dataclass
 class SegConfig:
     """Mirrors segmentation/config/gtav/gtav_fcn50_cnsn.yaml."""
-    arch: str = "fcn_cnsn"          # fcn | fcn_cnsn | psp | psa
+    arch: str = "fcn_cnsn"          # fcn | fcn_cnsn | psp | psa | psa_lite
     classes: int = 19
     train_h: int = 97
     train_w: int = 97
@@ -60,6 +60,14 @@ class SegConfig:
     beta: float = 1.0
     active_num: int = 1
     mix_prob: float = 0.5
+    # PSA knobs (reference psanet.py:101-110 defaults)
+    psa_type: int = 2               # 0 collect | 1 distribute | 2 both
+    compact: bool = False
+    shrink_factor: int = 2
+    mask_h: int = 0                 # 0 → auto 2h-1 on the shrunk grid
+    mask_w: int = 0
+    normalization_factor: float = 1.0
+    psa_softmax: bool = True
     # infra
     seed: int = 1
     print_freq: int = 10
@@ -86,7 +94,13 @@ def build_seg_model(cfg: SegConfig, num_groups: int = 1):
     if cfg.arch == "psp":
         return PSPNet(**kw)
     if cfg.arch == "psa":
-        return PSANet(**kw)
+        return PSANet(psa_type=cfg.psa_type, compact=cfg.compact,
+                      shrink_factor=cfg.shrink_factor, mask_h=cfg.mask_h,
+                      mask_w=cfg.mask_w,
+                      normalization_factor=cfg.normalization_factor,
+                      psa_softmax=cfg.psa_softmax, **kw)
+    if cfg.arch == "psa_lite":
+        return PSALite(**kw)
     raise ValueError(f"unknown arch {cfg.arch}")
 
 
@@ -181,7 +195,11 @@ class SegTrainer:
         inter_sum = np.zeros(cfg.classes)
         union_sum = np.zeros(cfg.classes)
         target_sum = np.zeros(cfg.classes)
-        has_cn = (cfg.cnsn_type and "cn" in cfg.cnsn_type) or cfg.cn_pos
+        # CrossNorm exists only when cnsn_type contains 'cn' — cn_pos
+        # alone just relocates a CN that isn't there (backbone creates
+        # real_cn/img_cn only under the same condition), so don't build
+        # or gate the aug program for sn-only configs.
+        has_cn = bool(cfg.cnsn_type and "cn" in cfg.cnsn_type)
         t0 = time.time()
         pending = []  # device-side metrics; resolved lazily (no per-step sync)
 

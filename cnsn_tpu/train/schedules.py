@@ -33,9 +33,10 @@ def imagenet_step_lr(base_lr: float, epochs: int, batch_size: int,
     k = max(epochs // 3, 1)
 
     def schedule(step):
+        # reference: 0.1 ** (epoch // k) — keeps decaying past 2k
+        # (imagenet.py:92-104), not a 3-level staircase
         epoch = step // steps_per_epoch
-        m = jnp.where(epoch < k, 1.0, jnp.where(epoch < 2 * k, 0.1, 0.01))
-        return base_lr * m * b
+        return base_lr * b * jnp.power(0.1, epoch // k)
 
     return schedule
 

@@ -98,7 +98,7 @@ class StepFns:
         self.cn_image = jax.jit(self._cn_image, donate_argnums=dn)
         self.cn_image_consist = jax.jit(self._cn_image_consist, donate_argnums=dn)
         self.cn_image_augmix = jax.jit(self._cn_image_augmix, donate_argnums=dn)
-        self.augmix_plain = jax.jit(self._augmix_plain, donate_argnums=dn)
+        self.augmix_plain = self.augmix  # same program (no-CN AugMix)
         self.eval_step = jax.jit(self._eval)
         self.eval_sum = jax.jit(self._eval_sum)
 
@@ -212,9 +212,6 @@ class StepFns:
                              "err1": error_topk(logits, labels, 1)})
 
     def _augmix(self, state, images3, labels, rng):
-        return self._augmix_common(state, images3, labels, rng, False)
-
-    def _augmix_plain(self, state, images3, labels, rng):
         return self._augmix_common(state, images3, labels, rng, False)
 
     def _augmix_cn(self, state, images3, labels, rng):

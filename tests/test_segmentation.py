@@ -140,3 +140,116 @@ class TestFCN:
         up_head = float(jax.tree.leaves(updates["classifier"])[0].reshape(-1)[0])
         up_bb = float(jax.tree.leaves(updates["backbone"])[0].reshape(-1)[0])
         np.testing.assert_allclose(up_head / up_bb, 10.0, rtol=1e-5)
+
+
+class TestPSA:
+    """True PSANet parity: psa_mask gather vs a direct scatter oracle
+    reproducing the reference CUDA op (segmentation/lib/psa semantics,
+    psanet.py:67,85-86), plus bmm orientation and forward shapes."""
+
+    def _scatter_oracle(self, y, mask_h, mask_w, distribute):
+        """Zero-filled (n, h*w, h*w) buffer; position (i,j) writes its
+        mask values at global offsets — column p for collect, row p for
+        distribute (the reference kernels' index layouts)."""
+        n, m, h, w = y.shape
+        half_h, half_w = (mask_h - 1) // 2, (mask_w - 1) // 2
+        out = np.zeros((n, h * w, h * w), y.dtype)
+        for i in range(h):
+            for j in range(w):
+                p = i * w + j
+                for dh in range(mask_h):
+                    a = dh + i - half_h
+                    if not (0 <= a < h):
+                        continue
+                    for dw in range(mask_w):
+                        b = dw + j - half_w
+                        if not (0 <= b < w):
+                            continue
+                        g = a * w + b
+                        if distribute:
+                            out[:, p, g] = y[:, dh * mask_w + dw, i, j]
+                        else:
+                            out[:, g, p] = y[:, dh * mask_w + dw, i, j]
+        return out
+
+    @pytest.mark.parametrize("distribute", [False, True])
+    def test_mask_gather_matches_scatter_oracle(self, distribute):
+        from cnsn_tpu.segmentation.pspnet import PSA, psa_mask_indices
+        rng = np.random.RandomState(3)
+        h = w = 5
+        mask_h = mask_w = 2 * h - 1
+        y = rng.randn(2, mask_h * mask_w, h, w).astype(np.float32)
+        oracle = self._scatter_oracle(y, mask_h, mask_w, distribute)
+
+        idx = jnp.asarray(psa_mask_indices(h, w, mask_h, mask_w))
+        psa = PSA()
+        y_nhwc = jnp.asarray(y.transpose(0, 2, 3, 1))
+        a = psa._expand(y_nhwc, idx)
+        if distribute:
+            a = a.transpose(0, 2, 1)
+        np.testing.assert_allclose(np.asarray(a), oracle, atol=1e-6)
+
+    def test_mask_window_smaller_than_grid(self):
+        from cnsn_tpu.segmentation.pspnet import psa_mask_indices
+        # a 3x3 window on a 5x5 grid: each position sees <= 9 globals
+        idx = psa_mask_indices(5, 5, 3, 3)
+        assert idx.shape == (25, 25)
+        sentinel = 9
+        for p in range(25):
+            assert (idx[:, p] != sentinel).sum() <= 9
+        # center position (2,2) has a full window centered on itself
+        col = idx[:, 12].reshape(5, 5)
+        assert col[2, 2] == 4  # mask center channel
+        assert (col != sentinel).sum() == 9
+
+    def test_branch_bmm_matches_torch_semantics(self):
+        """out = bmm(x.view(n,c,hw), attn.view(n,hw,hw)) with softmax
+        over dim=1 incl. the zero fill (psanet.py:68-70)."""
+        import torch
+        from cnsn_tpu.segmentation.pspnet import PSA, psa_mask_indices
+        rng = np.random.RandomState(7)
+        n, h, w, c = 2, 4, 4, 6
+        mask_h = mask_w = 2 * h - 1
+        feat = rng.randn(n, h, w, c).astype(np.float32)
+        y = rng.randn(n, h, w, mask_h * mask_w).astype(np.float32)
+
+        psa = PSA(normalization_factor=1.0, psa_softmax=True)
+        idx = jnp.asarray(psa_mask_indices(h, w, mask_h, mask_w))
+        got = psa._branch(jnp.asarray(feat), jnp.asarray(y), idx,
+                          distribute=False)
+
+        buf = self._scatter_oracle(y.transpose(0, 3, 1, 2), mask_h, mask_w,
+                                   distribute=False)
+        t_attn = torch.softmax(torch.from_numpy(buf), dim=1)
+        t_x = torch.from_numpy(
+            feat.transpose(0, 3, 1, 2).reshape(n, c, h * w))
+        t_out = torch.bmm(t_x, t_attn).reshape(n, c, h, w)
+        np.testing.assert_allclose(
+            np.asarray(got), t_out.numpy().transpose(0, 2, 3, 1),
+            rtol=1e-4, atol=1e-5)
+
+    def test_psanet_forward_shapes(self):
+        from cnsn_tpu.segmentation.pspnet import PSANet
+        model = PSANet(classes=7, block_idxs="1_2_3_4", pos="residual",
+                       cn_pos="post", cnsn_type="cnsn", crop="neither")
+        x = jnp.zeros((1, 33, 33, 3), jnp.float32)
+        variables = model.init(
+            {"params": jax.random.key(0)}, x, False, None, None)
+        out, aux = model.apply(variables, x, False, None, None)
+        assert out.shape == (1, 33, 33, 7)
+        assert aux.shape == (1, 33, 33, 7)
+        assert model.cn_num == 16
+
+    def test_psa_compact_collect_vs_expand_equivalence(self):
+        """compact=True with a full-grid map equals the expanded path
+        when the attention values agree (distribute transposition)."""
+        from cnsn_tpu.segmentation.pspnet import PSA
+        rng = np.random.RandomState(11)
+        n, h, w, c = 1, 3, 3, 4
+        feat = jnp.asarray(rng.randn(n, h, w, c).astype(np.float32))
+        y = jnp.asarray(rng.randn(n, h, w, h * w).astype(np.float32))
+        psa = PSA(compact=True)
+        out_c = psa._branch(feat, y, None, distribute=False)
+        out_d = psa._branch(feat, y, None, distribute=True)
+        assert out_c.shape == out_d.shape == (n, h, w, c)
+        assert not np.allclose(np.asarray(out_c), np.asarray(out_d))
