@@ -77,3 +77,79 @@ def test_grouped_perm_matches_dp_semantics():
     for g in range(8):
         blk = perm[g * 8:(g + 1) * 8]
         assert set(blk.tolist()) == set(range(g * 8, (g + 1) * 8))
+
+
+class TestMultiHostSeams:
+    """Exercise the DCN-facing helpers up to the jax.distributed call
+    (reference flow: mp.spawn + DistributedSampler + DDP,
+    segmentation/tool/train_cnsn.py:105-122).  Single process, 8
+    virtual devices — process_count()==1, so the 'local' slice is the
+    whole batch and the assembled global array must equal sharding the
+    batch directly."""
+
+    def test_process_batch_slice_single_process(self, monkeypatch):
+        from cnsn_tpu.parallel import distributed
+        start, size = distributed.process_batch_slice(32)
+        assert (start, size) == (0, 32)
+        # simulate a 4-host run: each host gets a distinct quarter
+        monkeypatch.setattr(distributed.jax, "process_count", lambda: 4)
+        slices = []
+        for pid in range(4):
+            monkeypatch.setattr(distributed.jax, "process_index",
+                                lambda p=pid: p)
+            slices.append(distributed.process_batch_slice(32))
+        assert slices == [(0, 8), (8, 8), (16, 8), (24, 8)]
+        with pytest.raises(ValueError):
+            distributed.process_batch_slice(33)  # not divisible
+
+    def test_global_batch_array_matches_direct_sharding(self):
+        from cnsn_tpu.parallel import DataParallel, make_mesh
+        from cnsn_tpu.parallel.distributed import (global_batch_array,
+                                                   process_batch_slice)
+        mesh = make_mesh(8)
+        dp = DataParallel(mesh)
+        rng = np.random.RandomState(0)
+        batch = rng.randn(16, 4, 4, 3).astype(np.float32)
+
+        start, size = process_batch_slice(16)
+        local = batch[start:start + size]
+        ga = global_batch_array(mesh, local)
+        assert ga.shape == (16, 4, 4, 3)
+        np.testing.assert_array_equal(np.asarray(ga), batch)
+
+        direct = dp.shard_batch(jnp.asarray(batch))
+        assert ga.sharding.is_equivalent_to(direct.sharding, ga.ndim)
+        np.testing.assert_array_equal(np.asarray(ga), np.asarray(direct))
+
+    def test_global_batch_array_feeds_train_step(self):
+        """The assembled global array works as a train-step input and
+        gives the same loss as the directly-sharded batch."""
+        from cnsn_tpu.models import build_model
+        from cnsn_tpu.parallel import DataParallel, make_mesh
+        from cnsn_tpu.parallel.distributed import global_batch_array
+        from cnsn_tpu.train import (StepFns, cosine_lr, create_train_state,
+                                    make_sgd)
+        mesh = make_mesh(8)
+        dp = DataParallel(mesh)
+        model = build_model("allconv", num_classes=10)
+        tx = make_sgd(cosine_lr(0.1, 100))
+        state = create_train_state(model, jax.random.key(0),
+                                   (8, 32, 32, 3), tx)
+        state = dp.replicate(state)
+        rng = np.random.RandomState(1)
+        images = rng.randn(16, 32, 32, 3).astype(np.float32)
+        labels = rng.randint(0, 10, 16)
+        steps = StepFns(model)
+
+        ga_im = global_batch_array(mesh, images)
+        ga_lb = global_batch_array(mesh, labels)
+        _, m1 = steps.plain(state, ga_im, ga_lb, jax.random.key(2))
+        im_s, lb_s = dp.shard_inputs(jnp.asarray(images), jnp.asarray(labels))
+        _, m2 = steps.plain(state, im_s, lb_s, jax.random.key(2))
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-6)
+
+    def test_initialize_noop_single_process(self):
+        from cnsn_tpu.parallel.distributed import initialize
+        initialize()               # no args → no-op
+        initialize(num_processes=1)  # 1 process → no-op
