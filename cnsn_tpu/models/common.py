@@ -11,6 +11,7 @@ from flax import linen as nn
 __all__ = [
     "he_fanout_normal", "torch_linear_uniform", "kaiming_normal_fanin",
     "conv_he_fanout", "linear_torch_default", "linear_kaiming_normal",
+    "S2DStem",
 ]
 
 # He-normal with fan_out = k*k*out_channels: the explicit init used by every
@@ -45,6 +46,43 @@ def conv_he_fanout(features: int, kernel: int, stride: int = 1,
                    padding=padding, use_bias=False, feature_group_count=groups,
                    kernel_init=he_fanout_normal, dtype=dtype,
                    param_dtype=jnp.float32, name=name)
+
+
+class S2DStem(nn.Module):
+    """ResNet 7x7/stride-2 stem computed as a 4x4/stride-1 conv on
+    2x2 space-to-depth-blocked input — algebraically identical (the
+    7x7 kernel is zero-embedded into 8x8 and phase-split), but the MXU
+    sees 12 input channels instead of 3 and no strided window (the
+    MLPerf-ResNet stem optimization, rebuilt for NHWC/XLA).
+
+    The parameter tree is identical to the plain stem (``kernel`` of
+    shape (7, 7, C, features) under this module's name), so
+    checkpoints and the torch importer work unchanged.
+    """
+
+    features: int = 64
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n, h, w, c = x.shape
+        assert h % 2 == 0 and w % 2 == 0, "s2d stem needs even H, W"
+        k = self.param("kernel", he_fanout_normal,
+                       (7, 7, c, self.features), jnp.float32)
+        # dy = 2t + ry - 1 (t in [0,4), ry in {0,1}): zero-embed 7->8
+        # taps with a leading zero so the reshape splits exact phases
+        k8 = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        k4 = k8.reshape(4, 2, 4, 2, c, self.features)
+        k4 = k4.transpose(0, 2, 1, 3, 4, 5).reshape(
+            4, 4, 4 * c, self.features)
+        x2 = x.reshape(n, h // 2, 2, w // 2, 2, c)
+        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(
+            n, h // 2, w // 2, 4 * c)
+        dt = self.dtype or x.dtype
+        # source index 2(p + t - 2) + ry: taps p-2 .. p+1 -> pad (2, 1)
+        return jax.lax.conv_general_dilated(
+            x2.astype(dt), k4.astype(dt), (1, 1), ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 def linear_torch_default(features: int, dtype=None,

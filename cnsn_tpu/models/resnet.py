@@ -17,7 +17,7 @@ from flax import linen as nn
 
 from ..nn.cnsn import CNSN
 from ..nn.norm import BatchNorm
-from .common import conv_he_fanout, linear_torch_default
+from .common import S2DStem, conv_he_fanout, linear_torch_default
 
 __all__ = ["ResNet", "resnet50"]
 
@@ -93,6 +93,7 @@ class ResNet(nn.Module):
     num_groups: int = 1
     dtype: Any = None  # compute dtype (bf16 fast path); params stay fp32
     remat: bool = False  # rematerialize each bottleneck (memory for FLOPs)
+    stem: str = "conv"  # 'conv' (7x7/s2) | 's2d' (same math, MXU-friendly)
 
     @property
     def cn_num(self) -> int:
@@ -104,7 +105,11 @@ class ResNet(nn.Module):
     def __call__(self, x, train: bool = False,
                  cn_active: Optional[jax.Array] = None):
         ura = not train
-        x = conv_he_fanout(64, 7, 2, padding=3, dtype=self.dtype, name="conv1")(x)
+        if self.stem == "s2d":
+            x = S2DStem(64, dtype=self.dtype, name="conv1")(x)
+        else:
+            x = conv_he_fanout(64, 7, 2, padding=3, dtype=self.dtype,
+                               name="conv1")(x)
         x = nn.relu(BatchNorm(64, name="bn1")(x, ura))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 

@@ -90,15 +90,17 @@ def wrn_augmix():
 
 
 def seg_train():
-    """FCN-CNSN 513x513 train step (gtav recipe, bf16, remat)."""
+    """FCN-CNSN train step (bf16, remat); SEG_SIZE/SEG_BATCH env
+    — the shipped gtav recipe shape is 713x713, batch 16."""
     from cnsn_tpu.segmentation import (SegStepFns, SegTrainState, fcn_cnsn,
                                        make_seg_optimizer)
     model = fcn_cnsn(classes=19, block_idxs="1_2_3_4", pos="residual",
                      cn_pos="post", cnsn_type="cnsn", crop="style",
                      beta=1.0, dtype=jnp.bfloat16, remat=True)
     b = int(os.environ.get("SEG_BATCH", "8"))
-    x = jnp.zeros((b, 513, 513, 3), jnp.float32)
-    yl = jnp.zeros((b, 513, 513), jnp.int32)
+    hw = int(os.environ.get("SEG_SIZE", "513"))  # gtav recipe: 713, b16
+    x = jnp.zeros((b, hw, hw, 3), jnp.float32)
+    yl = jnp.zeros((b, hw, hw), jnp.int32)
     rngs = {"params": jax.random.key(0), "crossnorm": jax.random.key(1),
             "dropout": jax.random.key(2)}
     v = model.init(rngs, x[:2], False, None, None)

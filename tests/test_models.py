@@ -106,3 +106,22 @@ class TestImageNetModels:
         model = build_model("resnet50", num_classes=1000)
         variables, _ = init_model(model, (1, 64, 64, 3))
         assert param_count(variables["params"]) == 25_557_032
+
+
+def test_s2d_stem_equals_conv_stem():
+    """stem='s2d' is an exact algebraic rewrite of the 7x7/s2 stem:
+    same param tree, same logits (fp32 tolerance)."""
+    from cnsn_tpu.models import build_model
+    a = build_model("resnet50", num_classes=10)
+    b = build_model("resnet50", num_classes=10, stem="s2d")
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 64, 3),
+                    jnp.float32)
+    va = a.init({"params": jax.random.key(0)}, x, False, None)
+    # identical param tree -> reuse the same variables
+    jax.tree_util.tree_all(jax.tree.map(
+        lambda p, q: p.shape == q.shape, va,
+        b.init({"params": jax.random.key(0)}, x, False, None)))
+    la = a.apply(va, x, False, None)
+    lb = b.apply(va, x, False, None)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                               rtol=1e-4, atol=1e-4)
