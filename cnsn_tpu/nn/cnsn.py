@@ -84,11 +84,14 @@ class SelfNorm(nn.Module):
     features: int
     is_two: bool = False
     eps: float = 1e-12
-    # Opt-in fused Pallas eval path.  Measured on v5e: XLA's two-pass
-    # fusion currently beats the hand kernel (144 vs 332 us on a
-    # 32x14x14x1024 block), so default off until the kernel is tiled
-    # better; flip with use_pallas=True or CNSN_SN_PALLAS=1.
-    use_pallas: bool = os.environ.get("CNSN_SN_PALLAS") == "1"
+    # Fused Pallas eval path: one HBM read + one write per site.  After
+    # retiling to (N, C/128) lane blocks it beats XLA's two-pass fusion
+    # on the ResNet-50 serving shapes (1.19-1.39x measured on v5e,
+    # perf/pallas_sn.jsonl) and is the default there; shapes whose C is
+    # not lane-aligned (e.g. WRN's 160) pad a whole tile and measured
+    # slower, so the dispatch guards on C % 128 == 0.  Opt out with
+    # CNSN_SN_PALLAS=0.
+    use_pallas: bool = os.environ.get("CNSN_SN_PALLAS", "1") == "1"
 
     def _fused_eval(self, x, g_w):
         """Fully fused single-pass eval path (Pallas, TPU): fold the BN
@@ -116,6 +119,7 @@ class SelfNorm(nn.Module):
                 and not self.is_initializing()
                 and "g_bn" in self.variables.get("params", {})
                 and jax.default_backend() in ("tpu", "axon")
+                and c % 128 == 0
                 and selfnorm_fits_vmem(x.shape[1], x.shape[2], c)):
             # keep BN params registered for checkpoint structure
             return self._fused_eval(x, g_w)

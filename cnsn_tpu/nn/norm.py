@@ -65,6 +65,16 @@ class BatchNorm(nn.Module):
     # 'one' = naive single pass (bench A/B only).
     # Env override: CNSN_BN_VAR.
     var_impl: str = os.environ.get("CNSN_BN_VAR", "shifted")
+    # Ghost-BN stats subsampling: compute batch statistics from the
+    # leading ``stats_sample`` rows only (0 = whole batch).  The stats
+    # pass is the single biggest non-conv cost on TPU (measured 11.5 ms
+    # of a 52 ms ResNet-50 step, perf trace r2); sampling cuts that
+    # read ~N/s-fold.  Statistically this reproduces the reference's
+    # OWN DataParallel semantics — torch BN normalizes per replica, so
+    # an 8-GPU b256 run uses 32-sample statistics (cifar.py:395,
+    # imagenet.py:533) — except every row is normalized by the shard-0
+    # stats instead of its own shard's.  Env: CNSN_BN_SAMPLE.
+    stats_sample: int = int(os.environ.get("CNSN_BN_SAMPLE", "0"))
 
     @nn.compact
     def __call__(self, x: jax.Array, use_running_average: bool) -> jax.Array:
@@ -98,26 +108,30 @@ class BatchNorm(nn.Module):
                                axis=axes)
             else:
                 axes = tuple(self.axes)
+                xs = xf
+                s = self.stats_sample
+                if s and 0 < s < x.shape[0]:
+                    xs = xf[:s]
                 n = 1
                 for a in axes:
-                    n *= x.shape[a]
+                    n *= xs.shape[a]
                 mshape = [1] * x.ndim
                 mshape[-1] = self.features
                 if self.var_impl == "shifted":
                     m0 = jax.lax.stop_gradient(ra_mean.value)
-                    d = xf - m0.reshape(mshape)
+                    d = xs - m0.reshape(mshape)
                     mean_d = jnp.mean(d, axis=axes)
                     var = jnp.maximum(
                         jnp.mean(jnp.square(d), axis=axes)
                         - jnp.square(mean_d), 0.0)
                     mean = m0 + mean_d
                 elif self.var_impl == "one":
-                    mean = jnp.mean(xf, axis=axes)
-                    var = (jnp.mean(jnp.square(xf), axis=axes)
+                    mean = jnp.mean(xs, axis=axes)
+                    var = (jnp.mean(jnp.square(xs), axis=axes)
                            - jnp.square(mean))
                 else:
-                    mean = jnp.mean(xf, axis=axes)
-                    var = jnp.mean(jnp.square(xf - mean.reshape(mshape)),
+                    mean = jnp.mean(xs, axis=axes)
+                    var = jnp.mean(jnp.square(xs - mean.reshape(mshape)),
                                    axis=axes)
             if not self.is_initializing():
                 m = self.momentum

@@ -192,3 +192,28 @@ class TestMultiBatchNorm:
         e0 = mod.apply({**v, **mut}, x0, True, 0)
         e1 = mod.apply({**v, **mut}, x0, True, 1)
         assert not np.allclose(np.asarray(e0), np.asarray(e1))
+
+
+def test_bn_ghost_stats_sampling():
+    """stats_sample=s computes batch stats from the leading s rows
+    (ghost BN; the reference's per-replica DataParallel BN uses
+    per-shard stats the same way).  sample=0 is bit-identical to full;
+    sampled stats stay within sampling noise of full-batch stats."""
+    from cnsn_tpu.nn.norm import BatchNorm
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(64, 8, 8, 16).astype(np.float32) * 2 + 3)
+    v = BatchNorm(16).init(jax.random.key(0), x, False)
+
+    full, mf = BatchNorm(16).apply(v, x, False, mutable=["batch_stats"])
+    same, _ = BatchNorm(16, stats_sample=0).apply(v, x, False,
+                                                  mutable=["batch_stats"])
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(same))
+
+    sub, ms = BatchNorm(16, stats_sample=16).apply(v, x, False,
+                                                   mutable=["batch_stats"])
+    # normalized outputs differ only by stats sampling noise
+    assert 0 < float(jnp.abs(full - sub).max()) < 0.5
+    # sampled running stats track the true moments
+    rm = np.asarray(ms["batch_stats"]["mean"])
+    true_m = np.asarray(x.mean(axis=(0, 1, 2))) * 0.1  # momentum step
+    np.testing.assert_allclose(rm, true_m, atol=0.05)
