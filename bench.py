@@ -1,4 +1,4 @@
-"""Throughput benchmark: ResNet-50+CNSN training step on real hardware.
+"""Throughput benchmark: ResNet-50+CNSN training on real hardware.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N,
@@ -7,10 +7,20 @@ Prints ONE JSON line:
 Baseline: an A100 trains ResNet-50 (synthetic, AMP) at ~2800 img/s;
 BASELINE.json's north star is >= 2x that per chip on v5e.
 
-Env knobs: BENCH_BATCH, BENCH_SIZE, BENCH_ITERS, BENCH_WARMUP,
-BENCH_DTYPE (bf16|fp32), BENCH_CNSN (cnsn|cn|sn|none), BENCH_REMAT,
-BENCH_REGIME (plain to force the plain step), BENCH_STEM (s2d for the
-space-to-depth stem).  XLA_FLAGS passes through to the compiler.
+The default measures the reference's flagship recipe — the exact
+workload behind its headline 23.3 top-1 / 69.7 mCE numbers
+(imagenet-scripts/run-cnsn.sh: in-network SelfNorm at pos=post +
+image-space CrossNorm gated per batch at cn_prob=0.5, b128 224²,
+imagenet.py:195-250).  The gate is the reference's host np.random
+Bernoulli, so the loop interleaves the two XLA programs in recipe
+proportion.  BENCH_RECIPE=innet instead times the heavier synthetic
+config used for kernel A/Bs (in-network CNSN, aug forward every step).
+
+Env knobs: BENCH_RECIPE (flagship|innet), BENCH_BATCH, BENCH_SIZE,
+BENCH_ITERS, BENCH_WARMUP, BENCH_DTYPE (bf16|fp32), BENCH_CNSN
+(cnsn|cn|sn|none — innet only), BENCH_REMAT, BENCH_REGIME (plain to
+force the plain step), BENCH_STEM (s2d for the space-to-depth stem).
+XLA_FLAGS passes through to the compiler.
 """
 import json
 import os
@@ -40,60 +50,90 @@ def main():
     size = int(os.environ.get("BENCH_SIZE", "224"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     warmup = int(os.environ.get("BENCH_WARMUP", "5"))
+    recipe = os.environ.get("BENCH_RECIPE", "flagship")
 
     dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[
         os.environ.get("BENCH_DTYPE", "bf16")]
-    cnsn_type = os.environ.get("BENCH_CNSN", "cnsn")
     remat = os.environ.get("BENCH_REMAT") == "1"
     kw = dict(num_classes=1000, dtype=dtype, remat=remat)
     if os.environ.get("BENCH_STEM"):
         kw["stem"] = os.environ["BENCH_STEM"]
-    if cnsn_type != "none":
-        kw.update(pos="residual", cnsn_type=cnsn_type, crop="neither",
-                  beta=1.0)
+
+    if recipe == "flagship":
+        # run-cnsn.sh: cnsn_type=sn pos=post crop=neither cn_prob=0.5
+        cn_prob = float(os.environ.get("BENCH_CN_PROB", "0.5"))
+        kw.update(pos="post", cnsn_type="sn", crop="neither", beta=1.0)
+    else:
+        cn_prob = 1.0
+        cnsn_type = os.environ.get("BENCH_CNSN", "cnsn")
+        if cnsn_type != "none":
+            kw.update(pos="residual", cnsn_type=cnsn_type, crop="neither",
+                      beta=1.0)
     model = build_model("resnet50", **kw)
     tx = make_sgd(cosine_lr(0.1, 10_000), weight_decay=1e-4, nesterov=False)
     state = create_train_state(model, jax.random.key(0),
                                (batch, size, size, 3), tx)
-    steps = StepFns(model, active_num=1, donate=True)
+    steps = StepFns(model, active_num=1, donate=True,
+                    image_crop="neither", image_beta=1.0)
 
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randn(batch, size, size, 3).astype(np.float32))
     labels = jnp.asarray(rng.randint(0, 1000, batch))
 
-    # steady-state CN training step (the flagship regime)
-    step_fn = (steps.plain if os.environ.get("BENCH_REGIME") == "plain"
-               or model.cn_num == 0 else steps.cn)
+    if recipe == "flagship":
+        aug_fn, plain_fn = steps.cn_image, steps.plain
+    else:
+        aug_fn = (steps.plain if os.environ.get("BENCH_REGIME") == "plain"
+                  or model.cn_num == 0 else steps.cn)
+        plain_fn = aug_fn
+
+    # Per-batch host Bernoulli gate, as in the reference
+    # (imagenet.py:214 np.random.rand < cn_prob); fixed seed so the
+    # aug/plain interleaving is reproducible across runs.
+    gates = np.random.RandomState(7).rand(warmup + iters) < cn_prob
 
     # AOT compile once so cost_analysis (exact per-step FLOPs for MFU)
     # doesn't trigger a second multi-minute remote compile.
     key0 = jax.random.key(0)
-    compiled = step_fn.lower(state, images, labels, key0).compile()
-    flops = None
-    try:
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0)) or None
-    except Exception:
-        pass
+    compiled_aug = aug_fn.lower(state, images, labels, key0).compile()
+    compiled_plain = (compiled_aug if plain_fn is aug_fn else
+                      plain_fn.lower(state, images, labels, key0).compile())
+
+    def step_flops(compiled):
+        try:
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            return float(ca.get("flops", 0.0)) or None
+        except Exception:
+            return None
+
+    fl_aug, fl_plain = step_flops(compiled_aug), step_flops(compiled_plain)
 
     # pre-create all step keys on device: no host->device transfers
     # inside the timed loop (the tunnel makes each a latency hit)
     keys = list(jax.random.split(key0, warmup + iters))
     jax.block_until_ready(keys[-1])
 
+    def run(i):
+        fn = compiled_aug if gates[i] else compiled_plain
+        return fn(state, images, labels, keys[i])
+
     for i in range(warmup):
-        state, metrics = compiled(state, images, labels, keys[i])
+        state, metrics = run(i)
     # force full completion with a host transfer (block_until_ready can
     # be a no-op on tunneled device buffers)
     float(metrics["loss"])
 
     t0 = time.perf_counter()
-    for i in range(iters):
-        state, metrics = compiled(state, images, labels, keys[warmup + i])
+    flops = 0.0
+    for i in range(warmup, warmup + iters):
+        state, metrics = run(i)
+        fl = fl_aug if gates[i] else fl_plain
+        flops += fl or 0.0
     float(metrics["loss"])
     dt = time.perf_counter() - t0
+    flops = (flops / iters) or None
 
     img_per_sec = batch * iters / dt
     out = {
@@ -102,6 +142,7 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_sec / A100_IMG_PER_SEC, 4),
         "ms_per_step": round(dt / iters * 1e3, 2),
+        "recipe": recipe,
     }
     if flops:
         out["mfu"] = round(flops * (iters / dt) / V5E_BF16_PEAK_FLOPS, 4)

@@ -125,3 +125,29 @@ def test_s2d_stem_equals_conv_stem():
     lb = b.apply(va, x, False, None)
     np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_conv1x1_dot_equals_conv(monkeypatch):
+    """CNSN_CONV1X1=dot lowers pointwise stride-1 convs to dot_general:
+    bit-identical forward, same param tree."""
+    import importlib
+    import cnsn_tpu.models.common as common
+    import cnsn_tpu.models.resnet as rn
+
+    monkeypatch.setenv("CNSN_CONV1X1", "dot")
+    importlib.reload(common); importlib.reload(rn)
+    try:
+        m_dot = rn.resnet50(num_classes=10)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 64, 3),
+                        jnp.float32)
+        v = m_dot.init({"params": jax.random.key(0)}, x, False, None)
+        ld = m_dot.apply(v, x, False, None)
+    finally:
+        monkeypatch.setenv("CNSN_CONV1X1", "conv")
+        importlib.reload(common); importlib.reload(rn)
+    m_conv = rn.resnet50(num_classes=10)
+    v2 = m_conv.init({"params": jax.random.key(0)}, x, False, None)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(v2))
+    lc = m_conv.apply(v, x, False, None)
+    np.testing.assert_array_equal(np.asarray(ld), np.asarray(lc))
