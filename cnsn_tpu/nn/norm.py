@@ -74,7 +74,13 @@ class BatchNorm(nn.Module):
     # an 8-GPU b256 run uses 32-sample statistics (cifar.py:395,
     # imagenet.py:533) — except every row is normalized by the shard-0
     # stats instead of its own shard's.  Env: CNSN_BN_SAMPLE.
+    # (Measured a net LOSS on v5e — XLA materializes the row slice —
+    # kept as a documented knob only.)
     stats_sample: int = int(os.environ.get("CNSN_BN_SAMPLE", "0"))
+    # Streaming Pallas statistics kernel (ops/pallas/bn_stats.py): the
+    # same shifted one-pass sums, read at full HBM bandwidth (the trace
+    # put XLA's convert_reduce ops at ~4x roofline).  Env: CNSN_BN_PALLAS.
+    use_pallas: bool = os.environ.get("CNSN_BN_PALLAS", "0") == "1"
 
     @nn.compact
     def __call__(self, x: jax.Array, use_running_average: bool) -> jax.Array:
@@ -119,11 +125,26 @@ class BatchNorm(nn.Module):
                 mshape[-1] = self.features
                 if self.var_impl == "shifted":
                     m0 = jax.lax.stop_gradient(ra_mean.value)
-                    d = xs - m0.reshape(mshape)
-                    mean_d = jnp.mean(d, axis=axes)
-                    var = jnp.maximum(
-                        jnp.mean(jnp.square(d), axis=axes)
-                        - jnp.square(mean_d), 0.0)
+                    backend = jax.default_backend()
+                    interp = backend == "cpu"  # test seam (interpret mode)
+                    if (self.use_pallas and x.ndim == 4
+                            and tuple(axes) == (0, 1, 2)
+                            and not (s and 0 < s < x.shape[0])
+                            and (backend in ("tpu", "axon") or interp)):
+                        # feed the pre-cast activation: pallas_call is
+                        # opaque to fusion, so an fp32 cast here would
+                        # materialize a full-size copy; the kernel
+                        # converts bf16→fp32 in VMEM instead.
+                        from ..ops.pallas.bn_stats import bn_sums
+                        s1, s2 = bn_sums(x, m0, interp)
+                        mean_d = s1 / n
+                        var = jnp.maximum(s2 / n - jnp.square(mean_d), 0.0)
+                    else:
+                        d = xs - m0.reshape(mshape)
+                        mean_d = jnp.mean(d, axis=axes)
+                        var = jnp.maximum(
+                            jnp.mean(jnp.square(d), axis=axes)
+                            - jnp.square(mean_d), 0.0)
                     mean = m0 + mean_d
                 elif self.var_impl == "one":
                     mean = jnp.mean(xs, axis=axes)

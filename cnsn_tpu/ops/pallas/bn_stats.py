@@ -1,0 +1,135 @@
+"""Pallas TPU kernel: streaming BatchNorm statistics over (N, H, W).
+
+The BN statistics pass is the single biggest non-conv cost in the
+ResNet-50 train step: a device trace attributed 11.5 ms of a 52 ms step
+to XLA's ``convert_reduce_fusion`` ops — ~4x the HBM roofline for
+reading each activation once (the reduce emitter does not stream at
+full bandwidth on these shapes).  This kernel computes the shifted
+one-pass sums
+
+    s1 = sum(x - m0),   s2 = sum((x - m0)^2)      over (N, H, W), per C
+
+in one pipelined VMEM pass over the activation (C rides the 128-lane
+axis; rows stream through in CHUNK-sized blocks), matching
+``nn.norm.BatchNorm``'s shifted single-pass variance
+(var = s2/n - (s1/n)^2, mean = m0 + s1/n — reference semantics:
+torch.nn.BatchNorm2d batch statistics).
+
+The backward is expressed in plain jnp (dx = g1 + 2 d g2 — one fused
+elementwise pass XLA merges with its neighbors), so only the forward
+reduction changes lowering.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["bn_sums_pallas", "bn_sums"]
+
+
+def _pick_chunk(r: int, c: int, itemsize: int,
+                budget_bytes: int = 4 * 1024 * 1024) -> int:
+    rows = max(budget_bytes // (itemsize * max(c, 1)), 8)
+    rows = min(rows, r)
+    return max((rows // 8) * 8, 8)
+
+
+def _sums_kernel(x_ref, m0_ref, s1_ref, s2_ref, acc_ref, *, r, chunk):
+    k = pl.program_id(0)
+    num_k = pl.num_programs(0)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    d = x_ref[...].astype(jnp.float32) - m0_ref[0]  # (chunk, C)
+    base = k * chunk
+    remaining = r - base
+    rows = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+    valid = (rows < remaining).astype(jnp.float32)
+    dv = d * valid
+    acc_ref[0] += jnp.sum(dv, axis=0)
+    acc_ref[1] += jnp.sum(dv * dv, axis=0)
+
+    @pl.when(k == num_k - 1)
+    def _():
+        s1_ref[0] = acc_ref[0]
+        s2_ref[0] = acc_ref[1]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bn_sums_pallas(x: jax.Array, m0: jax.Array, interpret: bool = False):
+    """x: (..., C) reduced over all leading axes; m0: (C,) float32 shift.
+    Returns (s1, s2), each (C,) float32."""
+    c = x.shape[-1]
+    r = 1
+    for s in x.shape[:-1]:
+        r *= s
+    # Lane folding: for C < 128 the physical (8, 128) tiling pads the
+    # minor dim, wasting bandwidth.  Since the reduction runs over rows
+    # anyway, fold row groups into the lane axis ((R, C) → (R/f, f·C)
+    # with f·C = 128) and sum the f channel copies at the end — a
+    # full-bandwidth read with zero pad.
+    fold = 1
+    if c < 128 and 128 % c == 0 and r % (128 // c) == 0:
+        fold = 128 // c
+        r = r // fold
+    xr = x.reshape(r, fold * c)
+    m0r = jnp.tile(m0.reshape(1, c).astype(jnp.float32), (1, fold))
+    chunk = _pick_chunk(r, fold * c, xr.dtype.itemsize)
+    grid = (pl.cdiv(r, chunk),)
+
+    cf = fold * c
+    kernel = functools.partial(_sums_kernel, r=r, chunk=chunk)
+    s1, s2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((chunk, cf), lambda k: (k, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, cf), lambda k: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((1, cf), lambda k: (0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, cf), lambda k: (0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((1, cf), jnp.float32),
+                   jax.ShapeDtypeStruct((1, cf), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((8, cf), jnp.float32)],
+        interpret=interpret,
+    )(xr, m0r)
+    if fold > 1:
+        return (jnp.sum(s1[0].reshape(fold, c), axis=0),
+                jnp.sum(s2[0].reshape(fold, c), axis=0))
+    return s1[0], s2[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def bn_sums(x: jax.Array, m0: jax.Array, interpret: bool = False):
+    """Differentiable shifted BN sums: s1 = Σ(x−m0), s2 = Σ(x−m0)² over
+    every axis but the last.  Forward is the streaming Pallas kernel;
+    backward is one fused jnp elementwise pass."""
+    return bn_sums_pallas(x, m0, interpret=interpret)
+
+
+def _bn_sums_fwd(x, m0, interpret):
+    out = bn_sums_pallas(x, m0, interpret=interpret)
+    return out, (x, m0)
+
+
+def _bn_sums_bwd(interpret, res, g):
+    x, m0 = res
+    g1, g2 = g  # each (C,)
+    d = x.astype(jnp.float32) - m0
+    dx = (g1 + 2.0 * d * g2).astype(x.dtype)
+    n = 1
+    for s in x.shape[:-1]:
+        n *= s
+    dm0 = -n * g1 - 2.0 * g2 * jnp.sum(d, axis=tuple(range(x.ndim - 1)))
+    return dx, dm0
+
+
+bn_sums.defvjp(_bn_sums_fwd, _bn_sums_bwd)

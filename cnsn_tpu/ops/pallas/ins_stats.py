@@ -102,3 +102,57 @@ def instance_mean_std_fast(x: jax.Array, eps: float = 1e-5, ddof: int = 1,
         return (mean.reshape(shape).astype(x.dtype),
                 std.reshape(shape).astype(x.dtype))
     return _jnp_stats(x, eps=eps, ddof=ddof)
+
+
+def _stats_v2_kernel(x_ref, mean_ref, std_ref, *, hw, eps, ddof):
+    x = x_ref[0].astype(jnp.float32)  # (HW, CB)
+    s1 = jnp.sum(x, axis=0)
+    s2 = jnp.sum(x * x, axis=0)
+    n = jnp.float32(hw)
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    if ddof:
+        var = var * (n / max(hw - ddof, 1))
+    mean_ref[0, 0] = mean
+    std_ref[0, 0] = jnp.sqrt(var + eps)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "ddof", "interpret"))
+def ins_stats_v2(x: jax.Array, eps: float = 1e-5, ddof: int = 1,
+                 interpret: bool = False):
+    """Retiled instance statistics: grid (N, C/128); each program reads
+    one sample's full (HW, 128-lane) channel-block plane in a single
+    VMEM pass (the tiling that made the fused eval-SelfNorm kernel beat
+    XLA 1.19-1.39x — perf/pallas_sn.jsonl).  The v1 kernel's
+    (N, HW-chunk) grid with running scratch accumulators measured slower
+    than XLA; this shape streams contiguous planes instead.
+
+    x: NHWC with C % 128 == 0 and the plane fitting VMEM.
+    Returns (mean, std), each (N, C) float32."""
+    n, h, w, c = x.shape
+    hw = h * w
+    cb = 128
+    assert c % cb == 0, c
+    xr = x.reshape(n, hw, c)
+    grid = (n, c // cb)
+    kernel = functools.partial(_stats_v2_kernel, hw=hw, eps=eps, ddof=ddof)
+    mean, std = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, hw, cb), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((1, 1, cb), lambda i, j: (i, 0, j),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, cb), lambda i, j: (i, 0, j),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
+                   jax.ShapeDtypeStruct((n, 1, c), jnp.float32)),
+        interpret=interpret,
+    )(xr)
+    return mean[:, 0], std[:, 0]
+
+
+def ins_stats_v2_fits(h: int, w: int, c: int, itemsize: int = 2,
+                      budget: int = 6 * 1024 * 1024) -> bool:
+    """Whether one (HW, 128) plane (double-buffered) fits the VMEM budget."""
+    return c % 128 == 0 and 2 * h * w * 128 * itemsize <= budget

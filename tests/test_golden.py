@@ -175,3 +175,16 @@ def test_golden_resnet50_ibn_b():
     # the reference IBN ResNet uses a fixed AvgPool2d(7): input must be
     # 224² (resnet_ibn_cnsn.py head)
     _import_and_compare(t, f, _x((2, 224, 224, 3)))
+
+
+def test_golden_resnet50_flagship():
+    """The shipped flagship recipe config (imagenet-scripts/run-cnsn.sh:
+    cnsn_type=sn, pos=post): in-network SelfNorm only — the workload
+    bench.py measures by default."""
+    from models.imagenet.resnet_cnsn import resnet50 as torch_resnet50
+    cfg = _cfg(active_num=1, pos="post", beta=1.0, crop="neither",
+               cnsn_type="sn")
+    t = _quiet(torch_resnet50, cfg)
+    f = build_model("resnet50", num_classes=1000, pos="post",
+                    beta=1.0, crop="neither", cnsn_type="sn")
+    _import_and_compare(t, f, _x((2, 64, 64, 3)), train_loss=True)

@@ -217,3 +217,46 @@ def test_bn_ghost_stats_sampling():
     rm = np.asarray(ms["batch_stats"]["mean"])
     true_m = np.asarray(x.mean(axis=(0, 1, 2))) * 0.1  # momentum step
     np.testing.assert_allclose(rm, true_m, atol=0.05)
+
+
+def test_batchnorm_pallas_stats_equivalence():
+    """BatchNorm with the streaming Pallas stats kernel (interpret on
+    CPU) matches the jnp shifted path: outputs, running stats, grads."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cnsn_tpu.nn.norm import BatchNorm
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 8, 8, 64).astype(np.float32) + 0.7)
+
+    outs = {}
+    for use_pallas in (False, True):
+        bn = BatchNorm(64, use_pallas=use_pallas)
+        v = bn.init({"params": jax.random.key(0)}, x, False)
+        # seed a nonzero running mean so the shifted path is exercised
+        v = {"params": v["params"],
+             "batch_stats": {"mean": jnp.full((64,), 0.3),
+                             "var": jnp.ones((64,))}}
+
+        def loss(params, x):
+            out, mut = bn.apply({"params": params,
+                                 "batch_stats": v["batch_stats"]},
+                                x, False, mutable=["batch_stats"])
+            return jnp.sum(out * out), (out, mut)
+
+        (l, (out, mut)), g = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True)(v["params"], x)
+        outs[use_pallas] = (np.asarray(out), jax.tree_util.tree_map(np.asarray, mut),
+                            jax.tree_util.tree_map(np.asarray, g))
+
+    np.testing.assert_allclose(outs[True][0], outs[False][0],
+                               rtol=1e-5, atol=1e-5)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            outs[True][1]["batch_stats"][k], outs[False][1]["batch_stats"][k],
+            rtol=1e-5, atol=1e-6)
+    gs_p, gs_j = outs[True][2], outs[False][2]
+    np.testing.assert_allclose(gs_p[1], gs_j[1], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(gs_p[0]["scale"], gs_j[0]["scale"],
+                               rtol=1e-5, atol=1e-5)

@@ -46,3 +46,43 @@ class TestSelfNormInferKernel:
         ref = selfnorm_infer_reference(x, w, a, b)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestBnSumsKernel:
+    """Streaming BN-stats kernel (ops/pallas/bn_stats.py) vs jnp oracle."""
+
+    @pytest.mark.parametrize("shape", [(4, 9, 7, 256), (2, 56, 56, 64),
+                                       (3, 5, 5, 128)])
+    def test_fwd_matches_jnp(self, shape):
+        from cnsn_tpu.ops.pallas.bn_stats import bn_sums_pallas
+        rng = np.random.RandomState(0)
+        c = shape[-1]
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32) * 2 + 1.5)
+        m0 = jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)
+        s1, s2 = bn_sums_pallas(x, m0, interpret=True)
+        d = np.asarray(x, np.float64) - np.asarray(m0, np.float64)
+        np.testing.assert_allclose(np.asarray(s1), d.sum(axis=(0, 1, 2)),
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(s2), (d * d).sum(axis=(0, 1, 2)),
+                                   rtol=1e-4, atol=1e-3)
+
+    def test_vjp_matches_autodiff(self):
+        from cnsn_tpu.ops.pallas.bn_stats import bn_sums
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(2, 7, 5, 128).astype(np.float32))
+        m0 = jnp.asarray(rng.randn(128).astype(np.float32) * 0.1)
+        co = jnp.asarray(rng.randn(128).astype(np.float32))
+
+        def f_pallas(x):
+            a, b = bn_sums(x, m0, True)
+            return jnp.sum(a * co + 0.3 * b)
+
+        def f_jnp(x):
+            d = x.astype(jnp.float32) - m0
+            return jnp.sum(jnp.sum(d, axis=(0, 1, 2)) * co
+                           + 0.3 * jnp.sum(d * d, axis=(0, 1, 2)))
+
+        g_pl = jax.grad(f_pallas)(x)
+        g_ref = jax.grad(f_jnp)(x)
+        np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
+                                   rtol=1e-5, atol=1e-5)
