@@ -95,9 +95,13 @@ class S2DStem(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         n, h, w, c = x.shape
-        assert h % 2 == 0 and w % 2 == 0, "s2d stem needs even H, W"
         k = self.param("kernel", he_fanout_normal,
                        (7, 7, c, self.features), jnp.float32)
+        if h % 2 or w % 2:  # odd input: plain 7x7/s2 conv (same params)
+            dt = self.dtype or x.dtype
+            return jax.lax.conv_general_dilated(
+                x.astype(dt), k.astype(dt), (2, 2), ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
         # dy = 2t + ry - 1 (t in [0,4), ry in {0,1}): zero-embed 7->8
         # taps with a leading zero so the reshape splits exact phases
         k8 = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))

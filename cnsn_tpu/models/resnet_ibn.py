@@ -11,6 +11,7 @@ Parity with the reference IBN ResNet
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Sequence
 
 import jax
@@ -19,7 +20,7 @@ from flax import linen as nn
 
 from ..nn.cnsn import CNSN
 from ..nn.norm import BatchNorm, IBN, InstanceNorm
-from .common import conv_he_fanout, linear_torch_default
+from .common import S2DStem, conv_he_fanout, linear_torch_default
 
 __all__ = ["ResNetIBN", "resnet50_ibn_a", "resnet50_ibn_b"]
 
@@ -97,6 +98,7 @@ class ResNetIBN(nn.Module):
     num_groups: int = 1
     dtype: Any = None  # compute dtype (bf16 fast path); params stay fp32
     remat: bool = False  # rematerialize each bottleneck (memory for FLOPs)
+    stem: str = os.environ.get("CNSN_STEM", "s2d")  # see models/resnet.py
 
     def _block_ibn(self, stage_ibn: Optional[str], i: int, blocks: int):
         """Per-block ibn flag: 'b' stages place IN only on the last block
@@ -125,7 +127,11 @@ class ResNetIBN(nn.Module):
     def __call__(self, x, train: bool = False,
                  cn_active: Optional[jax.Array] = None):
         ura = not train
-        x = conv_he_fanout(64, 7, 2, padding=3, dtype=self.dtype, name="conv1")(x)
+        if self.stem == "s2d":
+            x = S2DStem(64, dtype=self.dtype, name="conv1")(x)
+        else:
+            x = conv_he_fanout(64, 7, 2, padding=3, dtype=self.dtype,
+                               name="conv1")(x)
         if self.ibn_cfg[0] == "b":
             x = InstanceNorm(64, name="bn1")(x)
         else:

@@ -156,3 +156,37 @@ def ins_stats_v2_fits(h: int, w: int, c: int, itemsize: int = 2,
                       budget: int = 6 * 1024 * 1024) -> bool:
     """Whether one (HW, 128) plane (double-buffered) fits the VMEM budget."""
     return c % 128 == 0 and 2 * h * w * 128 * itemsize <= budget
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def ins_stats_diff(x: jax.Array, eps: float = 1e-5, ddof: int = 1,
+                   interpret: bool = False):
+    """Differentiable instance statistics on the v2 streaming kernel.
+
+    Returns (mean, std), each (N, C) float32.  Backward is one fused
+    jnp elementwise pass:
+      dx = gm/n + gs*(x-mean)/((n-ddof)*std)
+    (the analytic VJP of mean and of std = sqrt(var_ddof + eps))."""
+    return ins_stats_v2(x, eps=eps, ddof=ddof, interpret=interpret)
+
+
+def _ins_stats_diff_fwd(x, eps, ddof, interpret):
+    mean, std = ins_stats_v2(x, eps=eps, ddof=ddof, interpret=interpret)
+    return (mean, std), (x, mean, std)
+
+
+def _ins_stats_diff_bwd(eps, ddof, interpret, res, g):
+    x, mean, std = res
+    gm, gs = g  # (N, C) each
+    n, h, w, c = x.shape
+    hw = h * w
+    mb = mean.reshape(n, 1, 1, c)
+    sb = std.reshape(n, 1, 1, c)
+    gmb = gm.reshape(n, 1, 1, c)
+    gsb = gs.reshape(n, 1, 1, c)
+    denom = max(hw - ddof, 1)
+    dx = gmb / hw + gsb * (x.astype(jnp.float32) - mb) / (denom * sb)
+    return (dx.astype(x.dtype),)
+
+
+ins_stats_diff.defvjp(_ins_stats_diff_fwd, _ins_stats_diff_bwd)

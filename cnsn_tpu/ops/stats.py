@@ -27,6 +27,11 @@ import jax.numpy as jnp
 # BatchNorm (N·H·W reductions, mean²≫var post-ReLU) is where one-pass
 # actually diverges and uses the shifted form instead (nn/norm.py).
 _VAR_IMPL = os.environ.get("CNSN_STATS_VAR", "one")
+# Streaming Pallas instance-stats kernel (ops/pallas/ins_stats.py
+# ins_stats_v2 + analytic VJP) for lane-aligned channels: one
+# full-bandwidth plane read per (sample, channel-block).  Off until
+# measured on chip.  Env: CNSN_INS_PALLAS.
+_INS_PALLAS = os.environ.get("CNSN_INS_PALLAS", "0") == "1"
 
 __all__ = [
     "instance_mean_std",
@@ -44,6 +49,17 @@ def instance_mean_std(x: jax.Array, eps: float = 1e-5, ddof: int = 1,
     """
     if x.ndim != 4:
         raise ValueError(f"expected NHWC input, got shape {x.shape}")
+    if _INS_PALLAS:
+        from .pallas.ins_stats import ins_stats_diff, ins_stats_v2_fits
+        backend = jax.default_backend()
+        interp = backend == "cpu"  # test seam (interpret mode)
+        if ((backend in ("tpu", "axon") or interp)
+                and ins_stats_v2_fits(x.shape[1], x.shape[2], x.shape[3],
+                                      x.dtype.itemsize)):
+            m, s = ins_stats_diff(x, eps, ddof, interp)
+            shape = (x.shape[0], 1, 1, x.shape[3])
+            dt = out_dtype or x.dtype
+            return m.reshape(shape).astype(dt), s.reshape(shape).astype(dt)
     xf = x.astype(jnp.float32)
     n = x.shape[1] * x.shape[2]
     mean = jnp.mean(xf, axis=(1, 2), keepdims=True)

@@ -86,3 +86,55 @@ class TestBnSumsKernel:
         g_ref = jax.grad(f_jnp)(x)
         np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestInsStatsV2:
+    def test_v2_matches_jnp(self):
+        from cnsn_tpu.ops.pallas.ins_stats import ins_stats_v2
+        x = jnp.asarray(np.random.RandomState(0).randn(3, 7, 9, 256)
+                        .astype(np.float32) * 1.7 + 0.4)
+        m, s = ins_stats_v2(x, interpret=True)
+        rm, rs = instance_mean_std(x)
+        np.testing.assert_allclose(np.asarray(m), np.asarray(rm)[:, 0, 0],
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(rs)[:, 0, 0],
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_diff_vjp_matches_autodiff(self):
+        from cnsn_tpu.ops.pallas.ins_stats import ins_stats_diff
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(2, 6, 5, 128).astype(np.float32) * 1.3)
+        co1 = jnp.asarray(rng.randn(2, 128).astype(np.float32))
+        co2 = jnp.asarray(rng.randn(2, 128).astype(np.float32))
+
+        def f_pl(x):
+            m, s = ins_stats_diff(x, 1e-5, 1, True)
+            return jnp.sum(m * co1 + s * co2)
+
+        def f_ref(x):
+            m, s = instance_mean_std(x)
+            return jnp.sum(m[:, 0, 0] * co1 + s[:, 0, 0] * co2)
+
+        np.testing.assert_allclose(np.asarray(jax.grad(f_pl)(x)),
+                                   np.asarray(jax.grad(f_ref)(x)),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_dispatch_in_instance_mean_std(self, monkeypatch):
+        """CNSN_INS_PALLAS=1 routes instance_mean_std through the kernel
+        (interpret on CPU) with identical results."""
+        import importlib
+        import cnsn_tpu.ops.stats as stats_mod
+        x = jnp.asarray(np.random.RandomState(2).randn(2, 4, 4, 128)
+                        .astype(np.float32))
+        ref = stats_mod.instance_mean_std(x)
+        monkeypatch.setenv("CNSN_INS_PALLAS", "1")
+        importlib.reload(stats_mod)
+        try:
+            got = stats_mod.instance_mean_std(x)
+        finally:
+            monkeypatch.delenv("CNSN_INS_PALLAS")
+            importlib.reload(stats_mod)
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                                   rtol=1e-5, atol=1e-6)
