@@ -1,16 +1,14 @@
 """Pallas TPU kernel: streaming BatchNorm statistics over (N, H, W).
 
 The BN statistics pass is the single biggest non-conv cost in the
-ResNet-50 train step: a device trace attributed 11.5 ms of a 52 ms step
-to XLA's ``convert_reduce_fusion`` ops — ~4x the HBM roofline for
-reading each activation once (the reduce emitter does not stream at
-full bandwidth on these shapes).  This kernel computes the shifted
-one-pass sums
+ResNet-50 train step (a device trace attributed 11.5 ms of a 52 ms step
+to XLA's ``convert_reduce_fusion`` ops).  This kernel computes the
+shifted one-pass sums
 
     s1 = sum(x - m0),   s2 = sum((x - m0)^2)      over (N, H, W), per C
 
 in one pipelined VMEM pass over the activation (C rides the 128-lane
-axis; rows stream through in CHUNK-sized blocks), matching
+axis; rows stream through in chunk blocks), matching
 ``nn.norm.BatchNorm``'s shifted single-pass variance
 (var = s2/n - (s1/n)^2, mean = m0 + s1/n — reference semantics:
 torch.nn.BatchNorm2d batch statistics).
@@ -18,6 +16,11 @@ torch.nn.BatchNorm2d batch statistics).
 The backward is expressed in plain jnp (dx = g1 + 2 d g2 — one fused
 elementwise pass XLA merges with its neighbors), so only the forward
 reduction changes lowering.
+
+VMEM discipline: the f32 temporaries (d, d*d) triple the block
+footprint, so input blocks stay ≤1 MiB; the chunk is chosen to divide
+the row count when possible so the row-mask (two extra VPU ops per
+element) is only emitted for a ragged tail.
 """
 from __future__ import annotations
 
@@ -32,10 +35,18 @@ __all__ = ["bn_sums_pallas", "bn_sums"]
 
 
 def _pick_chunk(r: int, c: int, itemsize: int,
-                budget_bytes: int = 4 * 1024 * 1024) -> int:
-    rows = max(budget_bytes // (itemsize * max(c, 1)), 8)
-    rows = min(rows, r)
-    return max((rows // 8) * 8, 8)
+                budget_bytes: int = 1024 * 1024) -> int:
+    target = max(budget_bytes // (itemsize * max(c, 1)), 8)
+    target = min(target, r)
+    target = max((target // 8) * 8, 8)
+    # prefer a chunk that divides r exactly: the kernel then needs no
+    # row masking at all (checked statically below)
+    cand = target
+    while cand >= 8:
+        if r % cand == 0:
+            return cand
+        cand -= 8
+    return target
 
 
 def _sums_kernel(x_ref, m0_ref, s1_ref, s2_ref, acc_ref, *, r, chunk):
@@ -47,13 +58,22 @@ def _sums_kernel(x_ref, m0_ref, s1_ref, s2_ref, acc_ref, *, r, chunk):
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     d = x_ref[...].astype(jnp.float32) - m0_ref[0]  # (chunk, C)
-    base = k * chunk
-    remaining = r - base
-    rows = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
-    valid = (rows < remaining).astype(jnp.float32)
-    dv = d * valid
-    acc_ref[0] += jnp.sum(dv, axis=0)
-    acc_ref[1] += jnp.sum(dv * dv, axis=0)
+    if r % chunk:  # ragged tail: mask invalid rows (last chunk only)
+        @pl.when(k == num_k - 1)
+        def _():
+            rows = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+            valid = (rows < (r - k * chunk)).astype(jnp.float32)
+            dv = d * valid
+            acc_ref[0] += jnp.sum(dv, axis=0)
+            acc_ref[1] += jnp.sum(dv * dv, axis=0)
+
+        @pl.when(k < num_k - 1)
+        def _():
+            acc_ref[0] += jnp.sum(d, axis=0)
+            acc_ref[1] += jnp.sum(d * d, axis=0)
+    else:
+        acc_ref[0] += jnp.sum(d, axis=0)
+        acc_ref[1] += jnp.sum(d * d, axis=0)
 
     @pl.when(k == num_k - 1)
     def _():
@@ -78,12 +98,12 @@ def bn_sums_pallas(x: jax.Array, m0: jax.Array, interpret: bool = False):
     if c < 128 and 128 % c == 0 and r % (128 // c) == 0:
         fold = 128 // c
         r = r // fold
-    xr = x.reshape(r, fold * c)
+    cf = fold * c
+    xr = x.reshape(r, cf)
     m0r = jnp.tile(m0.reshape(1, c).astype(jnp.float32), (1, fold))
-    chunk = _pick_chunk(r, fold * c, xr.dtype.itemsize)
+    chunk = _pick_chunk(r, cf, xr.dtype.itemsize)
     grid = (pl.cdiv(r, chunk),)
 
-    cf = fold * c
     kernel = functools.partial(_sums_kernel, r=r, chunk=chunk)
     s1, s2 = pl.pallas_call(
         kernel,
@@ -99,6 +119,8 @@ def bn_sums_pallas(x: jax.Array, m0: jax.Array, interpret: bool = False):
         out_shape=(jax.ShapeDtypeStruct((1, cf), jnp.float32),
                    jax.ShapeDtypeStruct((1, cf), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((8, cf), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(xr, m0r)
     if fold > 1:
