@@ -27,23 +27,34 @@ def build_compiled():
     size = int(os.environ.get("BENCH_SIZE", "224"))
     dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[
         os.environ.get("BENCH_DTYPE", "bf16")]
-    cnsn_type = os.environ.get("BENCH_CNSN", "cnsn")
+    recipe = os.environ.get("BENCH_RECIPE", "flagship")
     kw = dict(num_classes=1000, dtype=dtype,
               remat=os.environ.get("BENCH_REMAT") == "1")
     if os.environ.get("BENCH_STEM"):
         kw["stem"] = os.environ["BENCH_STEM"]
-    if cnsn_type != "none":
-        kw.update(pos="residual", cnsn_type=cnsn_type, crop="neither",
-                  beta=1.0)
+    if recipe == "flagship":
+        cnsn_type = "sn"
+        kw.update(pos="post", cnsn_type="sn", crop="neither", beta=1.0)
+    else:
+        cnsn_type = os.environ.get("BENCH_CNSN", "cnsn")
+        if cnsn_type != "none":
+            kw.update(pos="residual", cnsn_type=cnsn_type, crop="neither",
+                      beta=1.0)
     model = build_model("resnet50", **kw)
     tx = make_sgd(cosine_lr(0.1, 10_000), weight_decay=1e-4, nesterov=False)
     state = create_train_state(model, jax.random.key(0),
                                (batch, size, size, 3), tx)
-    steps = StepFns(model, active_num=1, donate=True)
+    steps = StepFns(model, active_num=1, donate=True,
+                    image_crop="neither", image_beta=1.0)
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randn(batch, size, size, 3).astype(np.float32))
     labels = jnp.asarray(rng.randint(0, 1000, batch))
-    fn = steps.plain if cnsn_type == "none" else steps.cn
+    if recipe == "flagship":
+        # HLO_PROG=plain inspects the non-CN half of the recipe mix
+        fn = (steps.plain if os.environ.get("HLO_PROG") == "plain"
+              else steps.cn_image)
+    else:
+        fn = steps.plain if cnsn_type == "none" else steps.cn
     compiled = fn.lower(state, images, labels, jax.random.key(0)).compile()
     return compiled, state, images, labels
 
