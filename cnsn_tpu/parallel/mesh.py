@@ -20,13 +20,19 @@ __all__ = ["make_mesh", "DataParallel"]
 
 
 def make_mesh(num_devices: Optional[int] = None,
-              axis_names: Sequence[str] = ("data",)) -> Mesh:
-    """1-D (or trivially N-D) mesh over the first ``num_devices``."""
+              axis_names: Sequence[str] = ("data",),
+              shape: Optional[Sequence[int]] = None) -> Mesh:
+    """Mesh over the first ``num_devices``.
+
+    Default is 1-D over 'data'; pass ``shape`` (must multiply to the
+    device count) for N-D meshes, e.g. ``make_mesh(8, ('data','model'),
+    (4, 2))`` for the tensor-parallel seam (parallel/tensor.py)."""
     devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
-    shape = [len(devices)] + [1] * (len(axis_names) - 1)
-    return Mesh(np.asarray(devices).reshape(shape), axis_names)
+    if shape is None:
+        shape = [len(devices)] + [1] * (len(axis_names) - 1)
+    return Mesh(np.asarray(devices).reshape(tuple(shape)), axis_names)
 
 
 class DataParallel:
