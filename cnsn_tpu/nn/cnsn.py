@@ -84,14 +84,13 @@ class SelfNorm(nn.Module):
     features: int
     is_two: bool = False
     eps: float = 1e-12
-    # Fused Pallas eval path: one HBM read + one write per site.  After
-    # retiling to (N, C/128) lane blocks it beats XLA's two-pass fusion
-    # on the ResNet-50 serving shapes (1.19-1.39x measured on v5e,
-    # perf/pallas_sn.jsonl) and is the default there; shapes whose C is
-    # not lane-aligned (e.g. WRN's 160) pad a whole tile and measured
-    # slower, so the dispatch guards on C % 128 == 0.  Opt out with
-    # CNSN_SN_PALLAS=0.
-    use_pallas: bool = os.environ.get("CNSN_SN_PALLAS", "1") == "1"
+    # Fused Pallas eval path: one HBM read + one write per site.  Wins
+    # 1.19-1.39x on STANDALONE ResNet-50 serving shapes
+    # (perf/pallas_sn.jsonl) but LOSES 2x inside the full eval graph —
+    # the opaque custom-call breaks XLA's cross-op fusion around each
+    # site (serving 4854 vs 9671 img/s measured, perf wave 10) — so it
+    # ships OFF.  Opt in with CNSN_SN_PALLAS=1 for site-isolated use.
+    use_pallas: bool = os.environ.get("CNSN_SN_PALLAS", "0") == "1"
 
     def _fused_eval(self, x, g_w):
         """Fully fused single-pass eval path (Pallas, TPU): fold the BN
