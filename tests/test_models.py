@@ -151,3 +151,18 @@ def test_conv1x1_dot_equals_conv(monkeypatch):
             == jax.tree_util.tree_structure(v2))
     lc = m_conv.apply(v, x, False, None)
     np.testing.assert_array_equal(np.asarray(ld), np.asarray(lc))
+
+
+def test_s2d_stem_odd_size_fallback():
+    """Odd spatial input routes through the plain 7x7/s2 conv path of
+    S2DStem (same params): output matches the conv stem exactly."""
+    import cnsn_tpu.models.resnet as rn
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 63, 63, 3),
+                    jnp.float32)
+    a = rn.resnet50(num_classes=10, stem="s2d")
+    b = rn.resnet50(num_classes=10, stem="conv")
+    va = a.init({"params": jax.random.key(0)}, x, False, None)
+    la = a.apply(va, x, False, None)
+    lb = b.apply(va, x, False, None)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                               rtol=1e-5, atol=1e-5)
