@@ -2,7 +2,7 @@
 
 Prints one JSON line per entry; bench.py remains the driver's single
 headline metric.  Run: python scripts/bench_zoo.py [entries...]
-entries ∈ {r50_eval, wrn_train, wrn_augmix, seg_train}
+entries ∈ {r50_eval, wrn_train, wrn_augmix, ibn_augmix, seg_train}
 """
 import json
 import os
@@ -89,6 +89,36 @@ def wrn_augmix():
             "value": round(256 / dt, 2), "unit": "images/sec/chip"}
 
 
+def ibn_augmix():
+    """The 4th headline recipe (run-cnsn-augmix.sh, 22.3 top-1 err):
+    ResNet-50-IBN-b + in-network SN (pos=residual) + image-space CN on
+    the 3B AugMix concat + JSD.  Reference batch is 256 over 8 GPUs
+    (32/GPU); measured here at b64/chip, 3 views."""
+    from cnsn_tpu.models import build_model
+    from cnsn_tpu.train import StepFns, cosine_lr, create_train_state, make_sgd
+    model = build_model("resnet50_ibn_b", num_classes=1000, pos="residual",
+                        cnsn_type="sn", crop="neither", beta=1.0,
+                        dtype=jnp.bfloat16)
+    tx = make_sgd(cosine_lr(0.1, 10_000), weight_decay=1e-4, nesterov=False)
+    b = int(os.environ.get("IBN_BATCH", "64"))
+    state = [create_train_state(model, jax.random.key(0),
+                                (b, 224, 224, 3), tx)]
+    steps = StepFns(model, active_num=1, image_crop="neither",
+                    image_beta=1.0, donate=True)
+    views = jnp.zeros((3, b, 224, 224, 3), jnp.float32)
+    y = jnp.zeros((b,), jnp.int32)
+
+    def fn():
+        state[0], m = steps.cn_image_augmix(state[0], views, y,
+                                            jax.random.key(3))
+        return m
+
+    dt = timed(fn, lambda m: float(m["loss"]), 10, 2)
+    # samples/s (pre-view-tripling), matching the wrn_augmix convention
+    return {"metric": "ibn_b_sn_augmix_train_throughput",
+            "value": round(b / dt, 2), "unit": "images/sec/chip"}
+
+
 def seg_train():
     """FCN-CNSN train step (bf16, remat); SEG_SIZE/SEG_BATCH env
     — the shipped gtav recipe shape is 713x713, batch 16."""
@@ -119,7 +149,8 @@ def seg_train():
 
 
 ENTRIES = {"r50_eval": r50_eval, "wrn_train": wrn_train,
-           "wrn_augmix": wrn_augmix, "seg_train": seg_train}
+           "wrn_augmix": wrn_augmix, "ibn_augmix": ibn_augmix,
+           "seg_train": seg_train}
 
 if __name__ == "__main__":
     names = sys.argv[1:] or list(ENTRIES)
