@@ -22,6 +22,7 @@ from ..models import build_model
 from ..parallel import DataParallel, make_mesh
 from ..utils.checkpoint import restore_state, save_checkpoint
 from ..utils.meters import AverageMeter, get_log_dir_path
+from ..utils.prefetch import device_prefetch
 from .schedules import cosine_lr, imagenet_step_lr
 from .steps import StepFns, create_train_state, make_sgd
 
@@ -156,22 +157,32 @@ class Trainer:
         # would sync every step and stall the dispatch pipeline
         pending = []
         ondevice = (cfg.ondevice_augmix and "augmix" in regime)
-        for i, (images, labels) in enumerate(self.train_loader):
+
+        # Stage host→device transfers a couple of batches ahead (the
+        # reference's DataLoader-worker overlap, cifar.py:361-366); the
+        # step dispatch below is already asynchronous.
+        if ondevice:
+            def put(batch):
+                images, labels = batch
+                return (self.dp.shard_batch(jax.numpy.asarray(images)),
+                        self.dp.shard_batch(jax.numpy.asarray(labels)))
+        else:
+            def put(batch):
+                return self.dp.shard_inputs(jax.numpy.asarray(batch[0]),
+                                            jax.numpy.asarray(batch[1]))
+        staged = device_prefetch(self.train_loader, put,
+                                 depth=cfg.prefetch_depth)
+
+        for i, (im, lb) in enumerate(staged):
             key = self._next_key()
             if ondevice:
                 # uint8 geometry batch → 3 views generated on device
                 from ..data.augmix_jax import augmix_batch
-                u8 = self.dp.shard_batch(jax.numpy.asarray(images))
                 key, k_aug = jax.random.split(key)
-                images = augmix_batch(
-                    k_aug, u8, severity=float(cfg.aug_severity),
+                im = augmix_batch(
+                    k_aug, im, severity=float(cfg.aug_severity),
                     mixture_width=cfg.mixture_width,
                     mixture_depth=cfg.mixture_depth)
-                im = images
-                lb = self.dp.shard_batch(jax.numpy.asarray(labels))
-            else:
-                im, lb = self.dp.shard_inputs(jax.numpy.asarray(images),
-                                              jax.numpy.asarray(labels))
             gate = (cfg.cn_prob is not None
                     and float(self._rng.rand(1)[0]) < cfg.cn_prob)
 
@@ -195,8 +206,7 @@ class Trainer:
                 raise ValueError(regime)
 
             self.state, metrics = fn(self.state, im, lb, key)
-            n = labels.shape[-1] if labels.ndim else len(labels)
-            pending.append((metrics["loss"], n))
+            pending.append((metrics["loss"], int(lb.shape[-1])))
             if i % cfg.print_freq == 0:
                 for v, m in pending:
                     losses.update(float(v), m)

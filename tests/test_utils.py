@@ -71,3 +71,33 @@ def test_schedule_shapes():
     # seg step
     st = step_lr(0.1, 25, 100)
     np.testing.assert_allclose(float(st(2499 * 100 // 100)), 0.1 * 0.1 ** (24 // 25))
+
+
+class TestDevicePrefetch:
+    def test_yields_transformed_in_order(self):
+        from cnsn_tpu.utils.prefetch import device_prefetch
+        items = [(np.full((2, 2), i), np.array([i])) for i in range(7)]
+        out = list(device_prefetch(iter(items), lambda b: (b[0] * 2, b[1]),
+                                   depth=2))
+        assert len(out) == 7
+        for i, (a, b) in enumerate(out):
+            np.testing.assert_array_equal(a, np.full((2, 2), i) * 2)
+            assert b[0] == i
+
+    def test_depth_zero_inline(self):
+        from cnsn_tpu.utils.prefetch import device_prefetch
+        out = list(device_prefetch(iter([1, 2, 3]), lambda x: x + 1, depth=0))
+        assert out == [2, 3, 4]
+
+    def test_worker_exception_propagates(self):
+        import pytest
+        from cnsn_tpu.utils.prefetch import device_prefetch
+
+        def bad():
+            yield 1
+            raise RuntimeError("loader died")
+
+        it = device_prefetch(bad(), lambda x: x, depth=2)
+        assert next(it) == 1
+        with pytest.raises(RuntimeError, match="loader died"):
+            list(it)
