@@ -48,6 +48,7 @@ class SegConfig:
     base_lr: float = 0.01
     epochs: int = 80
     batch_size: int = 16
+    prefetch_depth: int = 2  # host→device staging depth (0 disables)
     momentum: float = 0.9
     weight_decay: float = 1e-4
     power: float = 0.9
@@ -216,9 +217,13 @@ class SegTrainer:
                                    float(m["main_loss"]), step)
             pending.clear()
 
-        for i, (images, labels) in enumerate(self.train_loader):
-            im = self.dp.shard_batch(jnp.asarray(images))
-            lb = self.dp.shard_batch(jnp.asarray(labels))
+        from ..utils.prefetch import device_prefetch
+        staged = device_prefetch(
+            self.train_loader,
+            lambda b: (self.dp.shard_batch(jnp.asarray(b[0])),
+                       self.dp.shard_batch(jnp.asarray(b[1]))),
+            depth=getattr(cfg, "prefetch_depth", 2))
+        for i, (im, lb) in enumerate(staged):
             aug = bool(has_cn
                        and self._gate.rand(1)[0] < cfg.mix_prob)
             fn = self.steps.aug if aug else self.steps.plain
