@@ -42,8 +42,10 @@ def evaluate(eval_step: Callable, state, loader: Iterable,
     """
     import jax.numpy as jnp
 
-    total_loss = total_correct = total = None
-    for images, labels in loader:
+    from ..utils.prefetch import device_prefetch
+
+    def put(batch):
+        images, labels = batch
         images = np.asarray(images)
         labels = np.asarray(labels).astype(np.int32)
         full = getattr(loader, "batch_size", len(labels))
@@ -57,6 +59,10 @@ def evaluate(eval_step: Callable, state, loader: Iterable,
         im, lb = jnp.asarray(images), jnp.asarray(labels)
         if dp is not None:
             im, lb = dp.shard_inputs(im, lb)
+        return im, lb
+
+    total_loss = total_correct = total = None
+    for im, lb in device_prefetch(loader, put, depth=2):
         out = eval_step(state, im, lb)
         if total_loss is None:
             total_loss, total_correct, total = (out["loss"], out["correct"],
