@@ -60,8 +60,11 @@ def main():
         kw["stem"] = os.environ["BENCH_STEM"]
 
     if recipe == "flagship":
-        # run-cnsn.sh: cnsn_type=sn pos=post crop=neither cn_prob=0.5
+        # run-cnsn.sh: cnsn_type=sn pos=post crop=neither cn_prob=0.5;
+        # BENCH_REGIME=plain forces the plain step (cn_prob=0)
         cn_prob = float(os.environ.get("BENCH_CN_PROB", "0.5"))
+        if os.environ.get("BENCH_REGIME") == "plain":
+            cn_prob = 0.0
         kw.update(pos="post", cnsn_type="sn", crop="neither", beta=1.0)
     else:
         cn_prob = 1.0
@@ -130,10 +133,13 @@ def main():
     for i in range(warmup, warmup + iters):
         state, metrics = run(i)
         fl = fl_aug if gates[i] else fl_plain
-        flops += fl or 0.0
+        if fl is None:
+            flops = None  # analysis failed for a used program: omit MFU
+        elif flops is not None:
+            flops += fl
     float(metrics["loss"])
     dt = time.perf_counter() - t0
-    flops = (flops / iters) or None
+    flops = (flops / iters) if flops else None
 
     img_per_sec = batch * iters / dt
     out = {

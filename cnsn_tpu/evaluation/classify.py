@@ -28,7 +28,7 @@ ALEXNET_ERR = (
 
 
 def evaluate(eval_step: Callable, state, loader: Iterable,
-             dp=None) -> Tuple[float, float]:
+             dp=None, prefetch_depth: int = 2) -> Tuple[float, float]:
     """Returns (avg loss over dataset, accuracy).
 
     ``eval_step`` must be the padding-aware summing step
@@ -62,7 +62,7 @@ def evaluate(eval_step: Callable, state, loader: Iterable,
         return im, lb
 
     total_loss = total_correct = total = None
-    for im, lb in device_prefetch(loader, put, depth=2):
+    for im, lb in device_prefetch(loader, put, depth=prefetch_depth):
         out = eval_step(state, im, lb)
         if total_loss is None:
             total_loss, total_correct, total = (out["loss"], out["correct"],
@@ -81,8 +81,8 @@ def evaluate(eval_step: Callable, state, loader: Iterable,
 def evaluate_cifar_c(eval_step: Callable, state, corrupt_dir: str,
                      num_classes: int, batch_size: int = 1000,
                      corruptions: Sequence[str] = CORRUPTIONS,
-                     verbose: bool = True,
-                     dp=None) -> Tuple[float, Dict[str, float]]:
+                     verbose: bool = True, dp=None,
+                     prefetch_depth: int = 2) -> Tuple[float, Dict[str, float]]:
     """Mean accuracy over the corruption suite; prints per-corruption
     error like the reference."""
     accs = {}
@@ -90,7 +90,8 @@ def evaluate_cifar_c(eval_step: Callable, state, corrupt_dir: str,
         images, labels = load_cifar_c(corrupt_dir, corruption)
         data = CifarData(images, labels, num_classes)
         loader = CifarLoader(data, batch_size, mode="eval")
-        loss, acc = evaluate(eval_step, state, loader, dp=dp)
+        loss, acc = evaluate(eval_step, state, loader, dp=dp,
+                             prefetch_depth=prefetch_depth)
         accs[corruption] = acc
         if verbose:
             print(f"{corruption}\n\tTest Loss {loss:.3f} | "

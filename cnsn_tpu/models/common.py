@@ -47,7 +47,9 @@ class Conv1x1Dot(nn.Module):
         c = x.shape[-1]
         k = self.param("kernel", he_fanout_normal,
                        (1, 1, c, self.features), jnp.float32)
-        dt = self.dtype or x.dtype
+        # dtype=None matches nn.Conv's promotion: bf16 x + fp32 kernel
+        # computes (and returns) fp32
+        dt = self.dtype or jnp.promote_types(x.dtype, k.dtype)
         return jax.lax.dot_general(
             x.astype(dt), k[0, 0].astype(dt),
             dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())))
@@ -98,7 +100,7 @@ class S2DStem(nn.Module):
         k = self.param("kernel", he_fanout_normal,
                        (7, 7, c, self.features), jnp.float32)
         if h % 2 or w % 2:  # odd input: plain 7x7/s2 conv (same params)
-            dt = self.dtype or x.dtype
+            dt = self.dtype or jnp.promote_types(x.dtype, k.dtype)
             return jax.lax.conv_general_dilated(
                 x.astype(dt), k.astype(dt), (2, 2), ((3, 3), (3, 3)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -111,7 +113,7 @@ class S2DStem(nn.Module):
         x2 = x.reshape(n, h // 2, 2, w // 2, 2, c)
         x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(
             n, h // 2, w // 2, 4 * c)
-        dt = self.dtype or x.dtype
+        dt = self.dtype or jnp.promote_types(x.dtype, k.dtype)
         # source index 2(p + t - 2) + ry: taps p-2 .. p+1 -> pad (2, 1)
         return jax.lax.conv_general_dilated(
             x2.astype(dt), k4.astype(dt), (1, 1), ((2, 1), (2, 1)),

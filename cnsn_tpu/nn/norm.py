@@ -125,12 +125,11 @@ class BatchNorm(nn.Module):
                 mshape[-1] = self.features
                 if self.var_impl == "shifted":
                     m0 = jax.lax.stop_gradient(ra_mean.value)
-                    backend = jax.default_backend()
-                    interp = backend == "cpu"  # test seam (interpret mode)
-                    if (self.use_pallas and x.ndim == 4
+                    from ..ops.pallas import pallas_dispatch
+                    use, interp = pallas_dispatch()
+                    if (self.use_pallas and use and x.ndim == 4
                             and tuple(axes) == (0, 1, 2)
-                            and not (s and 0 < s < x.shape[0])
-                            and (backend in ("tpu", "axon") or interp)):
+                            and not (s and 0 < s < x.shape[0])):
                         # feed the pre-cast activation: pallas_call is
                         # opaque to fusion, so an fp32 cast here would
                         # materialize a full-size copy; the kernel

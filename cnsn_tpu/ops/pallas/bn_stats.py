@@ -58,12 +58,13 @@ def _sums_kernel(x_ref, m0_ref, s1_ref, s2_ref, acc_ref, *, r, chunk):
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     d = x_ref[...].astype(jnp.float32) - m0_ref[0]  # (chunk, C)
-    if r % chunk:  # ragged tail: mask invalid rows (last chunk only)
+    if r % chunk:  # ragged tail: mask invalid rows (last chunk only).
+        # select (not multiply): padded out-of-bounds VMEM rows are
+        # unspecified, and NaN * 0.0 would poison the accumulator.
         @pl.when(k == num_k - 1)
         def _():
             rows = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
-            valid = (rows < (r - k * chunk)).astype(jnp.float32)
-            dv = d * valid
+            dv = jnp.where(rows < (r - k * chunk), d, 0.0)
             acc_ref[0] += jnp.sum(dv, axis=0)
             acc_ref[1] += jnp.sum(dv * dv, axis=0)
 

@@ -44,8 +44,9 @@ def _stats_kernel(x_ref, mean_ref, std_ref, acc_ref, *, hw, chunk, eps, ddof):
     base = k * chunk
     remaining = hw - base
     rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-    valid = (rows < remaining).astype(jnp.float32)
-    xv = x * valid
+    # select (not multiply): padded out-of-bounds VMEM rows are
+    # unspecified, and NaN * 0.0 would poison the accumulator
+    xv = jnp.where(rows < remaining, x, 0.0)
     acc_ref[0] += jnp.sum(xv, axis=0)
     acc_ref[1] += jnp.sum(xv * xv, axis=0)
 

@@ -50,11 +50,10 @@ def instance_mean_std(x: jax.Array, eps: float = 1e-5, ddof: int = 1,
     if x.ndim != 4:
         raise ValueError(f"expected NHWC input, got shape {x.shape}")
     if _INS_PALLAS:
+        from .pallas import pallas_dispatch
         from .pallas.ins_stats import ins_stats_diff, ins_stats_v2_fits
-        backend = jax.default_backend()
-        interp = backend == "cpu"  # test seam (interpret mode)
-        if ((backend in ("tpu", "axon") or interp)
-                and ins_stats_v2_fits(x.shape[1], x.shape[2], x.shape[3],
+        use, interp = pallas_dispatch()
+        if (use and ins_stats_v2_fits(x.shape[1], x.shape[2], x.shape[3],
                                       x.dtype.itemsize)):
             m, s = ins_stats_diff(x, eps, ddof, interp)
             shape = (x.shape[0], 1, 1, x.shape[3])

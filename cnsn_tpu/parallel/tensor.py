@@ -34,6 +34,8 @@ from typing import Optional
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from .mesh import DataParallel
+
 __all__ = ["TensorParallel", "resnet_tp_rules"]
 
 
@@ -43,10 +45,10 @@ def resnet_tp_rules(path: str, ndim: int) -> Optional[P]:
     ``path`` is '/'-joined (e.g. 'layer2_1/conv1/kernel'); returns None
     for replicated leaves.
     """
+    # NB the dot-lowered 1x1 (Conv1x1Dot) deliberately keeps the 4-d
+    # (1,1,Cin,Cout) kernel param, so one rule covers both lowerings.
     if re.search(r"layer\d+_\d+/conv1/kernel$", path) and ndim == 4:
         return P(None, None, None, "model")          # column-parallel
-    if re.search(r"layer\d+_\d+/conv1/kernel$", path) and ndim == 2:
-        return P(None, "model")                      # dot-lowered 1×1
     if re.search(r"layer\d+_\d+/bn1/(scale|bias|mean|var)$", path) and ndim == 1:
         return P("model")
     if re.search(r"layer\d+_\d+/conv2/kernel$", path) and ndim == 4:
@@ -54,21 +56,20 @@ def resnet_tp_rules(path: str, ndim: int) -> Optional[P]:
     return None
 
 
-class TensorParallel:
+class TensorParallel(DataParallel):
     """Sharding helpers for a ('data', 'model') mesh.
 
-    Extends the DataParallel flow: the state is placed with per-leaf
-    param shardings from ``rules`` instead of full replication.
+    Extends the DataParallel flow (batch sharding is inherited): the
+    state is placed with per-leaf param shardings from ``rules``
+    instead of full replication.
     """
 
     def __init__(self, mesh: Mesh, rules=resnet_tp_rules,
                  data_axis: str = "data", model_axis: str = "model"):
         assert model_axis in mesh.axis_names, mesh.axis_names
-        self.mesh = mesh
+        super().__init__(mesh, data_axis=data_axis)
         self.rules = rules
-        self.data_axis = data_axis
         self.model_axis = model_axis
-        self.replicated = NamedSharding(mesh, P())
 
     def _leaf_sharding(self, path_parts, leaf) -> NamedSharding:
         def part(p):
@@ -88,11 +89,3 @@ class TensorParallel:
             return jax.device_put(leaf, self._leaf_sharding(path, leaf))
         return jax.tree_util.tree_map_with_path(place, state)
 
-    def shard_batch(self, array, axis: int = 0):
-        spec = [None] * array.ndim
-        spec[axis] = self.data_axis
-        return jax.device_put(array, NamedSharding(self.mesh, P(*spec)))
-
-    def shard_inputs(self, images, labels):
-        axis = 1 if images.ndim == 5 else 0
-        return self.shard_batch(images, axis), self.shard_batch(labels, 0)

@@ -229,7 +229,7 @@ class SegTrainer:
             fn = self.steps.aug if aug else self.steps.plain
             self.state, m = fn(self.state, im, lb, self._next_key())
             step = epoch * len(self.train_loader) + i + 1
-            pending.append((m, images.shape[0], step))
+            pending.append((m, int(im.shape[0]), step))
             if (i + 1) % cfg.print_freq == 0:
                 drain()
                 miou, macc, aacc = _summarize(inter_sum, union_sum,

@@ -220,6 +220,7 @@ class Trainer:
 
     def evaluate_clean(self):
         return evaluate(self.steps.eval_sum, self.state, self.test_loader,
+                        prefetch_depth=self.cfg.prefetch_depth,
                         dp=self.dp)
 
     def fit(self, epochs: Optional[int] = None) -> float:
@@ -258,7 +259,8 @@ class Trainer:
             return self._test_corruptions_imagenet()
         mean_acc, _ = evaluate_cifar_c(
             self.steps.eval_sum, self.state, cfg.corrupt_data_dir,
-            cfg.num_classes, cfg.eval_batch_size, dp=self.dp)
+            cfg.num_classes, cfg.eval_batch_size, dp=self.dp,
+            prefetch_depth=cfg.prefetch_depth)
         print(f"Mean Corruption Error: {100 - 100. * mean_acc:.3f}")
         return mean_acc
 
@@ -279,6 +281,7 @@ class Trainer:
                                         cfg.eval_batch_size, mode="eval",
                                         workers=cfg.workers)
                 _, acc = evaluate(self.steps.eval_sum, self.state, loader,
+                                  prefetch_depth=cfg.prefetch_depth,
                                   dp=self.dp)
                 accs.append(acc)
             corruption_accs[corruption] = accs

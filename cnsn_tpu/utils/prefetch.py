@@ -34,22 +34,46 @@ def device_prefetch(loader: Iterable, put: Callable, depth: int = 2) -> Iterator
         return
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def enqueue(item) -> bool:
+        # bounded put that notices consumer abandonment, so the worker
+        # never parks forever holding staged device batches
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in loader:
-                q.put(put(item))
+                if not enqueue(put(item)):
+                    return
         except BaseException as e:  # noqa: BLE001 — re-raised in consumer
-            q.put((_END, e))
+            enqueue((_END, e))
             return
-        q.put((_END, None))
+        enqueue((_END, None))
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if isinstance(item, tuple) and len(item) == 2 and item[0] is _END:
-            if item[1] is not None:
-                raise item[1]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if (isinstance(item, tuple) and len(item) == 2
+                    and item[0] is _END):
+                if item[1] is not None:
+                    raise item[1]
+                return
+            yield item
+    finally:
+        # consumer done or abandoned (exception / early exit): release
+        # the worker and drop any staged batches
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass

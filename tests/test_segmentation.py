@@ -253,3 +253,22 @@ class TestPSA:
         out_d = psa._branch(feat, y, None, distribute=True)
         assert out_c.shape == out_d.shape == (n, h, w, c)
         assert not np.allclose(np.asarray(out_c), np.asarray(out_d))
+
+
+def test_seg_trainer_train_epoch_smoke(tmp_path):
+    """One SegTrainer epoch end-to-end on synthetic data — guards the
+    host loop itself (loop variables, prefetch staging, meters), which
+    the step-level tests bypass."""
+    from cnsn_tpu.segmentation.data import synthetic_seg_dataset
+    from cnsn_tpu.segmentation.trainer import SegConfig, SegTrainer
+
+    cfg = SegConfig(arch="fcn_cnsn", classes=5, train_h=33, train_w=33,
+                    batch_size=4, batch_size_val=4, epochs=1,
+                    cnsn_type="cnsn", pos="residual", cn_pos="post",
+                    block_idxs="1", crop="neither", mix_prob=1.0,
+                    save_path=str(tmp_path), print_freq=2,
+                    num_devices=4)
+    train_ds = synthetic_seg_dataset(8, hw=(41, 41), classes=5)
+    val_ds = synthetic_seg_dataset(4, hw=(33, 33), classes=5, seed=7)
+    tr = SegTrainer(cfg, train_ds, val_ds, None)
+    tr.train_epoch(0)

@@ -101,3 +101,18 @@ class TestDevicePrefetch:
         assert next(it) == 1
         with pytest.raises(RuntimeError, match="loader died"):
             list(it)
+
+    def test_abandoned_generator_releases_worker(self):
+        import threading
+        import time
+        from cnsn_tpu.utils.prefetch import device_prefetch
+
+        n_before = threading.active_count()
+        it = device_prefetch(iter(range(100)), lambda x: x, depth=2)
+        assert next(it) == 0
+        it.close()  # abandon mid-stream
+        for _ in range(50):  # worker should exit promptly
+            if threading.active_count() <= n_before:
+                break
+            time.sleep(0.1)
+        assert threading.active_count() <= n_before
