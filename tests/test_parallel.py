@@ -202,3 +202,36 @@ class TestTensorParallel:
         _, m2 = steps.cn(s_tp, *tp.shard_inputs(imgs, lbls),
                          jax.random.key(3))
         assert np.isfinite(float(m2["loss"]))
+
+    def test_tp_flagship_cn_image_step(self):
+        """The bench flagship workload (in-network SN + image-space CN)
+        runs over the 2-D mesh: sharded-image CrossNorm gather + SN BN1d
+        + TP conv shardings compose in one program."""
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from cnsn_tpu.models import build_model
+        from cnsn_tpu.parallel import TensorParallel, make_mesh
+        from cnsn_tpu.train import (StepFns, cosine_lr, create_train_state,
+                                    make_sgd)
+
+        model = build_model("resnet50", num_classes=10, pos="post",
+                            cnsn_type="sn", crop="neither", beta=1.0)
+        tx = make_sgd(cosine_lr(0.1, 100), weight_decay=1e-4,
+                      nesterov=False)
+        state = create_train_state(model, jax.random.key(0),
+                                   (4, 32, 32, 3), tx)
+        steps = StepFns(model, active_num=1, image_crop="neither",
+                        image_beta=1.0, num_groups=4)
+        rng = np.random.RandomState(0)
+        imgs = jnp.asarray(rng.randn(8, 32, 32, 3).astype(np.float32))
+        lbls = jnp.asarray(rng.randint(0, 10, 8))
+
+        tp = TensorParallel(make_mesh(8, ("data", "model"), (4, 2)))
+        st = tp.shard_state(state)
+        s1, m1 = steps.cn_image(st, *tp.shard_inputs(imgs, lbls),
+                                jax.random.key(2))
+        assert np.isfinite(float(m1["loss"]))
+        _, m2 = steps.plain(s1, *tp.shard_inputs(imgs, lbls),
+                            jax.random.key(3))
+        assert np.isfinite(float(m2["loss"]))
