@@ -92,8 +92,12 @@ def main():
 
     # Per-batch host Bernoulli gate, as in the reference
     # (imagenet.py:214 np.random.rand < cn_prob); fixed seed so the
-    # aug/plain interleaving is reproducible across runs.
-    gates = np.random.RandomState(7).rand(warmup + iters) < cn_prob
+    # aug/plain interleaving is reproducible across runs.  Three timed
+    # windows after warmup so the reported number carries a spread
+    # (single-shot round-over-round deltas were within run noise).
+    windows = int(os.environ.get("BENCH_WINDOWS", "3"))
+    total = warmup + windows * iters
+    gates = np.random.RandomState(7).rand(total) < cn_prob
 
     # AOT compile once so cost_analysis (exact per-step FLOPs for MFU)
     # doesn't trigger a second multi-minute remote compile.
@@ -115,33 +119,41 @@ def main():
 
     # pre-create all step keys on device: no host->device transfers
     # inside the timed loop (the tunnel makes each a latency hit)
-    keys = list(jax.random.split(key0, warmup + iters))
+    keys = list(jax.random.split(key0, total))
     jax.block_until_ready(keys[-1])
 
     def run(i):
         fn = compiled_aug if gates[i] else compiled_plain
         return fn(state, images, labels, keys[i])
 
+    metrics = None
     for i in range(warmup):
         state, metrics = run(i)
-    # force full completion with a host transfer (block_until_ready can
-    # be a no-op on tunneled device buffers)
-    float(metrics["loss"])
+    if metrics is not None:
+        # force full completion with a host transfer (block_until_ready
+        # can be a no-op on tunneled device buffers)
+        float(metrics["loss"])
 
-    t0 = time.perf_counter()
-    flops = 0.0
-    for i in range(warmup, warmup + iters):
-        state, metrics = run(i)
-        fl = fl_aug if gates[i] else fl_plain
-        if fl is None:
-            flops = None  # analysis failed for a used program: omit MFU
-        elif flops is not None:
-            flops += fl
-    float(metrics["loss"])
-    dt = time.perf_counter() - t0
-    flops = (flops / iters) if flops else None
+    rates, dts, flops_per_win = [], [], []
+    for w in range(windows):
+        lo = warmup + w * iters
+        t0 = time.perf_counter()
+        flops = 0.0
+        for i in range(lo, lo + iters):
+            state, metrics = run(i)
+            fl = fl_aug if gates[i] else fl_plain
+            if fl is None:
+                flops = None  # analysis failed for a used program: no MFU
+            elif flops is not None:
+                flops += fl
+        float(metrics["loss"])
+        dt = time.perf_counter() - t0
+        dts.append(dt)
+        rates.append(batch * iters / dt)
+        flops_per_win.append((flops / iters) if flops else None)
 
-    img_per_sec = batch * iters / dt
+    order = int(np.argsort(rates)[len(rates) // 2])  # median window
+    img_per_sec, dt, flops = rates[order], dts[order], flops_per_win[order]
     out = {
         "metric": "resnet50_cnsn_train_throughput",
         "value": round(img_per_sec, 2),
@@ -149,6 +161,8 @@ def main():
         "vs_baseline": round(img_per_sec / A100_IMG_PER_SEC, 4),
         "ms_per_step": round(dt / iters * 1e3, 2),
         "recipe": recipe,
+        "windows": [round(r, 2) for r in rates],
+        "spread": round(max(rates) - min(rates), 2),
     }
     if flops:
         out["mfu"] = round(flops * (iters / dt) / V5E_BF16_PEAK_FLOPS, 4)

@@ -61,6 +61,14 @@ class BatchNorm(nn.Module):
     #   the cancellation benign (E[x−m₀] ≈ 0, so no mean²≫var blow-up —
     #   the failure mode that rules out the naive E[x²]−E[x]² form,
     #   measured 0.16 logit divergence vs torch through 50+ BNs).
+    #   Cold-start caveat: at step 0 the running mean is zeros, so the
+    #   shift is a no-op and the first few dozen steps (momentum 0.1 ⇒
+    #   m₀ reaches ~90% of the true mean in ~22 steps) compute the
+    #   naive form; the maximum(·,0) clamp bounds the worst case at
+    #   var=0 (inv capped by eps).  Harmless for from-scratch SGD, but
+    #   for strict parity runs (golden trajectory tests, fine-tuning
+    #   from imported torch weights — where the running mean is already
+    #   warm anyway) use var_impl='two'.
     # 'two' = centered two-pass (torch's exact reduction order);
     # 'one' = naive single pass (bench A/B only).
     # Env override: CNSN_BN_VAR.

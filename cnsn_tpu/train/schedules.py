@@ -33,10 +33,11 @@ def imagenet_step_lr(base_lr: float, epochs: int, batch_size: int,
     k = max(epochs // 3, 1)
 
     def schedule(step):
-        # reference: 0.1 ** (epoch // k) — keeps decaying past 2k
-        # (imagenet.py:92-104), not a 3-level staircase
+        # reference caps the multiplier at 0.01 (imagenet.py:92-104:
+        # m = 1 / 0.1 / 0.01 for epoch < k / < 2k / else) — a 3-level
+        # staircase, NOT unbounded 0.1**(epoch//k) decay.
         epoch = step // steps_per_epoch
-        return base_lr * b * jnp.power(0.1, epoch // k)
+        return base_lr * b * jnp.power(0.1, jnp.minimum(epoch // k, 2))
 
     return schedule
 

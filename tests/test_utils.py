@@ -60,10 +60,10 @@ def test_schedule_shapes():
     np.testing.assert_allclose(float(s(0)), 0.1 * 2.0)
     np.testing.assert_allclose(float(s(30 * 10)), 0.01 * 2.0)
     np.testing.assert_allclose(float(s(60 * 10)), 0.001 * 2.0, rtol=1e-6)
-    # tail keeps decaying (0.1 ** (epoch//k)), not a capped staircase
-    # (imagenet.py:92-104)
+    # tail is capped at 0.01x — a 3-level staircase (imagenet.py:92-104:
+    # m = 1 / 0.1 / 0.01), epochs past 3k do NOT decay further
     np.testing.assert_allclose(float(s(89 * 10)), 0.001 * 2.0, rtol=1e-6)
-    np.testing.assert_allclose(float(s(95 * 10)), 0.0001 * 2.0, rtol=1e-5)
+    np.testing.assert_allclose(float(s(95 * 10)), 0.001 * 2.0, rtol=1e-6)
     # poly
     p = poly_lr(0.01, 100)
     np.testing.assert_allclose(float(p(0)), 0.01)
