@@ -85,6 +85,11 @@ def main():
 
     if recipe == "flagship":
         aug_fn, plain_fn = steps.cn_image, steps.plain
+        # degenerate gates: skip the 3-8 min compile of the unused program
+        if cn_prob >= 1.0:
+            plain_fn = aug_fn
+        elif cn_prob <= 0.0:
+            aug_fn = plain_fn
     else:
         aug_fn = (steps.plain if os.environ.get("BENCH_REGIME") == "plain"
                   or model.cn_num == 0 else steps.cn)

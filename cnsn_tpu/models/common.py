@@ -55,6 +55,34 @@ class Conv1x1Dot(nn.Module):
             dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())))
 
 
+class ConvCustomBwd(nn.Module):
+    """k×k conv (forward = stock conv_general_dilated, same ``kernel``
+    param tree as nn.Conv) with hand-lowered gradients — wgrad as
+    tap-wise dot_generals and/or stride-1 dgrad as a flipped forward
+    conv (ops/convdot.py).  Exists to attack the conv-backward 54% of
+    the flagship step."""
+
+    features: int
+    kernel: int
+    stride: int = 1
+    padding: int = 1
+    wgrad: str = "dot"
+    dgrad: str = "dot"
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from ..ops.convdot import conv2d_custom_bwd
+        c = x.shape[-1]
+        k = self.param("kernel", he_fanout_normal,
+                       (self.kernel, self.kernel, c, self.features),
+                       jnp.float32)
+        dt = self.dtype or jnp.promote_types(x.dtype, k.dtype)
+        return conv2d_custom_bwd(x.astype(dt), k.astype(dt),
+                                 self.stride, self.padding,
+                                 self.wgrad, self.dgrad)
+
+
 def conv_he_fanout(features: int, kernel: int, stride: int = 1,
                    padding: Union[int, str, None] = None, groups: int = 1,
                    dtype=None, name: str | None = None):
@@ -65,12 +93,24 @@ def conv_he_fanout(features: int, kernel: int, stride: int = 1,
     stay float32.  Pointwise stride-1 convs lower to dot_general by
     default (bit-identical, same param tree; +1.6% on plain ResNet-50,
     never slower — perf/r2 waves 4-5); CNSN_CONV1X1=conv restores the
-    conv_general_dilated lowering."""
+    conv_general_dilated lowering.
+
+    CNSN_CONV3X3 selects the 3×3 *backward* lowering (forward always
+    stock): 'conv' (default) = jax autodiff; 'dot' = wgrad as tap dots
+    + stride-1 dgrad as flipped forward conv; 'wgrad'/'dgrad' lower
+    only that side (A/B attribution)."""
     if padding is None:
         padding = kernel // 2
     if (kernel == 1 and stride == 1 and padding == 0 and groups == 1
             and os.environ.get("CNSN_CONV1X1", "dot") == "dot"):
         return Conv1x1Dot(features, dtype=dtype, name=name)
+    mode3 = os.environ.get("CNSN_CONV3X3", "conv")
+    if (kernel == 3 and groups == 1 and mode3 != "conv"
+            and isinstance(padding, int)):
+        wg = "dot" if mode3 in ("dot", "wgrad") else "auto"
+        dg = "dot" if mode3 in ("dot", "dgrad") else "auto"
+        return ConvCustomBwd(features, kernel, stride, padding,
+                             wgrad=wg, dgrad=dg, dtype=dtype, name=name)
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
     return nn.Conv(features, (kernel, kernel), strides=(stride, stride),

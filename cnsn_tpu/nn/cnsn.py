@@ -132,7 +132,8 @@ class SelfNorm(nn.Module):
             mean = mean_nc.reshape(x.shape[0], 1, 1, c)
         stats_nc2 = jnp.stack([mean_nc, std_nc], axis=-1)  # (N, C, 2)
 
-        g_y = jnp.einsum("nck,ck->nc", stats_nc2.astype(jnp.float32), g_w)
+        sdt = jnp.promote_types(x.dtype, jnp.float32)
+        g_y = jnp.einsum("nck,ck->nc", stats_nc2.astype(sdt), g_w)
         g_y = BatchNorm1dStats(c, name="g_bn")(g_y, use_running_average)
         g = jax.nn.sigmoid(g_y).reshape(x.shape[0], 1, 1, c).astype(x.dtype)
         if gate_only:
@@ -141,7 +142,7 @@ class SelfNorm(nn.Module):
 
         if self.is_two:
             f_w = self.param("f_fc", _conv1d_k2_init, (c, 2))
-            f_y = jnp.einsum("nck,ck->nc", stats_nc2.astype(jnp.float32), f_w)
+            f_y = jnp.einsum("nck,ck->nc", stats_nc2.astype(sdt), f_w)
             f_y = BatchNorm1dStats(c, name="f_bn")(f_y, use_running_average)
             f = jax.nn.sigmoid(f_y).reshape(x.shape[0], 1, 1, c).astype(x.dtype)
             return x * g + mean.astype(x.dtype) * (f - g)

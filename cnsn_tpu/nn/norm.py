@@ -21,6 +21,12 @@ from flax import linen as nn
 
 __all__ = ["BatchNorm", "BatchNorm1dStats", "InstanceNorm", "IBN", "gelu_sig"]
 
+def _stat_dtype(x):
+    """Computation dtype for statistics: at least float32 (bf16 inputs
+    are promoted; float64 inputs — x64 parity testing — are kept)."""
+    return jnp.promote_types(x.dtype, jnp.float32)
+
+
 
 def gelu_sig(x: jax.Array) -> jax.Array:
     """Sigmoid-approximated GELU: x * sigmoid(1.702 x).
@@ -71,8 +77,9 @@ class BatchNorm(nn.Module):
     #   warm anyway) use var_impl='two'.
     # 'two' = centered two-pass (torch's exact reduction order);
     # 'one' = naive single pass (bench A/B only).
-    # Env override: CNSN_BN_VAR.
-    var_impl: str = os.environ.get("CNSN_BN_VAR", "shifted")
+    # None → CNSN_BN_VAR env (read at trace time, so tests/runs can
+    # switch without re-importing), default 'shifted'.
+    var_impl: str | None = None
     # Ghost-BN stats subsampling: compute batch statistics from the
     # leading ``stats_sample`` rows only (0 = whole batch).  The stats
     # pass is the single biggest non-conv cost on TPU (measured 11.5 ms
@@ -111,7 +118,7 @@ class BatchNorm(nn.Module):
             # (post-ReLU activations), compounding through 50+ BN layers
             # — measured 0.16 logit divergence vs torch on ResNet-50
             # train mode.  XLA fuses both reduction passes.
-            xf = x.astype(jnp.float32)
+            xf = x.astype(_stat_dtype(x))
             if g > 1:
                 xg = xf.reshape((g, x.shape[0] // g) + x.shape[1:])
                 axes = tuple(range(1, xg.ndim - 1))
@@ -131,7 +138,9 @@ class BatchNorm(nn.Module):
                     n *= xs.shape[a]
                 mshape = [1] * x.ndim
                 mshape[-1] = self.features
-                if self.var_impl == "shifted":
+                var_impl = self.var_impl or os.environ.get(
+                    "CNSN_BN_VAR", "shifted")
+                if var_impl == "shifted":
                     m0 = jax.lax.stop_gradient(ra_mean.value)
                     from ..ops.pallas import pallas_dispatch
                     use, interp = pallas_dispatch()
@@ -153,7 +162,7 @@ class BatchNorm(nn.Module):
                             jnp.mean(jnp.square(d), axis=axes)
                             - jnp.square(mean_d), 0.0)
                     mean = m0 + mean_d
-                elif self.var_impl == "one":
+                elif var_impl == "one":
                     mean = jnp.mean(xs, axis=axes)
                     var = (jnp.mean(jnp.square(xs), axis=axes)
                            - jnp.square(mean))
@@ -172,7 +181,7 @@ class BatchNorm(nn.Module):
         if g > 1:
             inv = jax.lax.rsqrt(var + self.eps) * scale       # (g, C)
             gshape = (g,) + (1,) * (x.ndim - 1) + (self.features,)
-            xg = x.astype(jnp.float32).reshape(
+            xg = x.astype(_stat_dtype(x)).reshape(
                 (g, x.shape[0] // g) + x.shape[1:])
             out = ((xg - mean.reshape(gshape)) * inv.reshape(gshape)
                    + bias.reshape((1,) * x.ndim + (self.features,)))
@@ -181,7 +190,7 @@ class BatchNorm(nn.Module):
         shape = [1] * x.ndim
         shape[-1] = self.features
         inv = jax.lax.rsqrt(var + self.eps) * scale
-        out = (x.astype(jnp.float32) - mean.reshape(shape)) * inv.reshape(shape) \
+        out = (x.astype(_stat_dtype(x)) - mean.reshape(shape)) * inv.reshape(shape) \
             + bias.reshape(shape)
         return out.astype(dtype)
 
@@ -206,7 +215,7 @@ class BatchNorm1dStats(nn.Module):
                                 lambda: jnp.zeros((self.features,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((self.features,), jnp.float32))
-        yf = y.astype(jnp.float32)
+        yf = y.astype(_stat_dtype(y))
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
@@ -241,7 +250,7 @@ class InstanceNorm(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        xf = x.astype(jnp.float32)
+        xf = x.astype(_stat_dtype(x))
         mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
         var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
         out = (xf - mean) * jax.lax.rsqrt(var + self.eps)
@@ -276,7 +285,7 @@ class MultiBatchNorm(nn.Module):
             "batch_stats", "var",
             lambda: jnp.ones((self.num_domains, self.features), jnp.float32))
 
-        xf = x.astype(jnp.float32)
+        xf = x.astype(_stat_dtype(x))
         if use_running_average:
             mean, var = ra_mean.value[domain], ra_var.value[domain]
         else:

@@ -59,7 +59,7 @@ def instance_mean_std(x: jax.Array, eps: float = 1e-5, ddof: int = 1,
             shape = (x.shape[0], 1, 1, x.shape[3])
             dt = out_dtype or x.dtype
             return m.reshape(shape).astype(dt), s.reshape(shape).astype(dt)
-    xf = x.astype(jnp.float32)
+    xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
     n = x.shape[1] * x.shape[2]
     mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
     if _VAR_IMPL == "one":
@@ -105,7 +105,7 @@ def masked_instance_mean_std(
     """
     if x.ndim != 4:
         raise ValueError(f"expected NHWC input, got shape {x.shape}")
-    xf = x.astype(jnp.float32)
+    xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
     m = jnp.broadcast_to(mask.astype(jnp.float32), (x.shape[0], x.shape[1], x.shape[2], 1))
     n = jnp.sum(m, axis=(1, 2), keepdims=True)
     s1 = jnp.sum(xf * m, axis=(1, 2), keepdims=True)

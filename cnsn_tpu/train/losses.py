@@ -15,13 +15,15 @@ __all__ = ["cross_entropy", "jsd_consistency", "softmax_probs", "error_topk"]
 
 def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
     """Mean CE over the batch (torch F.cross_entropy default reduction)."""
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    logp = jax.nn.log_softmax(
+        logits.astype(jnp.promote_types(logits.dtype, jnp.float32)), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
     return jnp.mean(nll)
 
 
 def softmax_probs(logits: jax.Array) -> jax.Array:
-    return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return jax.nn.softmax(
+        logits.astype(jnp.promote_types(logits.dtype, jnp.float32)), axis=-1)
 
 
 def _kl_batchmean(p: jax.Array, log_q: jax.Array) -> jax.Array:

@@ -8,7 +8,14 @@
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def _stepf(step):
+    """Step index as the canonical float dtype (f32 normally; f64 under
+    x64 so lockstep parity tests aren't limited by f32 LR rounding)."""
+    return jnp.asarray(step, jax.dtypes.canonicalize_dtype(jnp.float64))
 
 __all__ = ["cosine_lr", "imagenet_step_lr", "poly_lr"]
 
@@ -20,7 +27,7 @@ def cosine_lr(base_lr: float, total_steps: int, lr_min: float = 1e-6):
     def schedule(step):
         frac = 1e-6 / base_lr
         mult = frac + (1.0 - frac) * 0.5 * (1.0 + jnp.cos(
-            step / total_steps * jnp.pi))
+            _stepf(step) / total_steps * jnp.pi))
         return base_lr * mult
 
     return schedule
@@ -44,7 +51,7 @@ def imagenet_step_lr(base_lr: float, epochs: int, batch_size: int,
 
 def poly_lr(base_lr: float, max_iter: int, power: float = 0.9):
     def schedule(step):
-        return base_lr * (1.0 - step / max_iter) ** power
+        return base_lr * (1.0 - _stepf(step) / max_iter) ** power
 
     return schedule
 

@@ -1,0 +1,71 @@
+"""conv2d_custom_bwd: hand-lowered conv gradients vs jax autodiff."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cnsn_tpu.ops.convdot import conv2d_custom_bwd, _fwd_conv
+
+
+def _loss_grads(fn, x, k):
+    def loss(x, k):
+        y = fn(x, k)
+        # non-uniform cotangent so flipped/shifted-index bugs can't cancel
+        w = jnp.arange(y.size, dtype=jnp.float32).reshape(y.shape) / y.size
+        return jnp.sum(y * w)
+    return jax.grad(loss, argnums=(0, 1))(x, k)
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+@pytest.mark.parametrize("wgrad,dgrad", [("dot", "dot"), ("dot", "auto"),
+                                         ("auto", "dot"), ("auto", "auto")])
+def test_conv_custom_bwd_matches_autodiff(stride, wgrad, dgrad):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 9, 9, 5).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 5, 7).astype(np.float32))
+
+    ref = lambda x, k: _fwd_conv(x, k, stride, 1)
+    cus = lambda x, k: conv2d_custom_bwd(x, k, stride, 1, wgrad, dgrad)
+
+    np.testing.assert_allclose(np.asarray(cus(x, k)), np.asarray(ref(x, k)),
+                               rtol=1e-6, atol=1e-6)
+    dx_r, dk_r = _loss_grads(ref, x, k)
+    dx_c, dk_c = _loss_grads(cus, x, k)
+    np.testing.assert_allclose(np.asarray(dx_c), np.asarray(dx_r),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dk_c), np.asarray(dk_r),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_conv_custom_bwd_even_input_stride2():
+    # stride-2 with even spatial size: the R50 layer-boundary shape class
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 4, 6).astype(np.float32))
+    ref = lambda x, k: _fwd_conv(x, k, 2, 1)
+    cus = lambda x, k: conv2d_custom_bwd(x, k, 2, 1, "dot", "dot")
+    dx_r, dk_r = _loss_grads(ref, x, k)
+    dx_c, dk_c = _loss_grads(cus, x, k)
+    np.testing.assert_allclose(np.asarray(dx_c), np.asarray(dx_r),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dk_c), np.asarray(dk_r),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_conv3x3_model_gate(monkeypatch):
+    """CNSN_CONV3X3=dot swaps the module but keeps the param tree and
+    the forward bit-identical."""
+    from cnsn_tpu.models.common import conv_he_fanout
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+
+    monkeypatch.setenv("CNSN_CONV3X3", "conv")
+    m0 = conv_he_fanout(6, 3, 2)
+    p0 = m0.init(jax.random.key(0), x)
+    monkeypatch.setenv("CNSN_CONV3X3", "dot")
+    m1 = conv_he_fanout(6, 3, 2)
+    p1 = m1.init(jax.random.key(0), x)
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+    np.testing.assert_allclose(np.asarray(m1.apply(p0, x)),
+                               np.asarray(m0.apply(p0, x)), rtol=1e-6)

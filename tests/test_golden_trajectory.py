@@ -1,0 +1,172 @@
+"""Multi-step training-trajectory parity vs the torch reference.
+
+The golden suite (tests/test_golden.py) pins step-0 forward semantics;
+this file pins the *training dynamics*: N real optimizer steps — SGD
+momentum 0.9 + nesterov + coupled weight decay (cifar.py:399-413),
+per-step cosine LR (cifar.py:87-90,408-413), BN batch-stat
+normalization and running-stat updates (momentum 0.1, unbiased running
+var), SelfNorm's BN1d state — must track the torch trajectory from
+identical imported init.  Optimizer or stat-update drift that a single
+forward can't see would silently break the accuracy story (23.3 top-1
+/ 69.7 mCE).
+
+Comparison runs in float64 lockstep (torch ``.double()`` vs jax x64
+with the promote-not-truncate stat paths): fp32 trajectories at lr 0.1
+diverge chaotically within ~3 steps from legitimate rounding (measured
+0.3 loss diff by step 3), which would force tolerances loose enough to
+hide real drift — in f64 both sides are the same math to ~1e-13 at
+step 0, and even the chaotic ReLU-flip amplification (~1e3x/step)
+keeps 3 steps well inside graded tolerances that any semantic
+difference would blow through by orders of magnitude.  x64 is a process-global
+jax config, so the lockstep runs in a subprocess (this file doubles as
+the driver: ``python tests/test_golden_trajectory.py <model>`` prints a
+JSON line with both loss arrays).
+
+Both sides see identical synthetic batches; the plain training regime
+(reference cifar.py:93-114 train / imagenet.py:143-192) is used, so CN
+sites stay inactive and the trajectory is RNG-free (WRN dropout=0).
+"""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                                reason="reference repo not available")
+
+CONFIGS = {
+    # model -> (n_steps, batch, size, classes, lr, wd, total_steps)
+    "wideresnet": (3, 16, 32, 10, 0.1, 5e-4, 24),
+    "resnet50": (3, 8, 64, 1000, 0.1, 1e-4, 16),
+}
+
+
+def _run_lockstep(which):
+    env = dict(os.environ)
+    env.update(JAX_ENABLE_X64="1", CNSN_BN_VAR="two",
+               CNSN_STATS_VAR="two", JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, os.path.abspath(__file__), which],
+                       capture_output=True, text=True, timeout=1500, env=env)
+    line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+    assert line.startswith("{"), (r.stdout[-2000:], r.stderr[-2000:])
+    return json.loads(line)
+
+
+def _assert_tracks(rec):
+    """Graded per-step tolerances: the f64 lockstep noise floor is
+    ~1e-13 at step 0 and amplifies ~1e3x/step through ReLU-boundary
+    flips (measured); a semantic error in the update — wrong wd
+    coupling, nesterov form, or LR value — injects >=1e-4 at step 1.
+    Three steps cover: forward, first update (nesterov init + wd +
+    lr(0)), momentum accumulation + lr(1), and the resulting forwards."""
+    t, f = np.asarray(rec["torch"]), np.asarray(rec["jax"])
+    err = np.abs(t - f)
+    tols = np.asarray([1e-9, 1e-6, 1e-5])[:len(err)]
+    assert (err < tols).all(), (rec, err)
+
+
+def test_golden_trajectory_wideresnet():
+    _assert_tracks(_run_lockstep("wideresnet"))
+
+
+def test_golden_trajectory_resnet50_flagship():
+    _assert_tracks(_run_lockstep("resnet50"))
+
+
+# ---------------------------------------------------------------------------
+# subprocess driver
+# ---------------------------------------------------------------------------
+
+def _driver(which):
+    import contextlib
+    import io
+    import types
+
+    import torch
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for p in (repo, REFERENCE):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    from cnsn_tpu.models import build_model
+    from cnsn_tpu.train import (StepFns, cosine_lr, create_train_state,
+                                make_sgd)
+    from cnsn_tpu.utils.torch_import import convert_state_dict
+
+    steps_n, batch, size, classes, lr, wd, total = CONFIGS[which]
+
+    torch.manual_seed(0)
+    with contextlib.redirect_stdout(io.StringIO()):
+        if which == "wideresnet":
+            from models.cifar.wideresnet_cnsn import WideResNet as TorchWRN
+            t = TorchWRN(40, classes, 2, 0.0, active_num=2, pos="post",
+                         beta=1.0, crop="neither", cnsn_type="cnsn")
+            f = build_model("wideresnet", num_classes=classes, pos="post",
+                            beta=1.0, crop="neither", cnsn_type="cnsn")
+        else:
+            from models.imagenet.resnet_cnsn import resnet50 as torch_r50
+            cfg = types.SimpleNamespace(active_num=1, pos="post", beta=1.0,
+                                        crop="neither", cnsn_type="sn")
+            t = torch_r50(cfg)
+            f = build_model("resnet50", num_classes=classes, pos="post",
+                            beta=1.0, crop="neither", cnsn_type="sn")
+    t = t.double()
+
+    rng = np.random.RandomState(3)
+    batches = [(rng.randn(batch, size, size, 3),
+                rng.randint(0, classes, batch).astype(np.int64))
+               for _ in range(steps_n)]
+
+    # ----- jax side first (imports the torch init before it mutates)
+    x0 = jnp.asarray(batches[0][0])
+    variables = f.init({"params": jax.random.key(0)}, x0, False, None)
+    params, stats, missing = convert_state_dict(
+        t.state_dict(), dict(variables["params"]),
+        dict(variables.get("batch_stats", {})), strict=True)
+    assert not missing, missing
+    as64 = lambda tree: jax.tree.map(
+        lambda a: jnp.asarray(np.asarray(a), jnp.float64), tree)
+    params, stats = as64(params), as64(stats)
+
+    tx = make_sgd(cosine_lr(lr, total), weight_decay=wd, nesterov=True)
+    state = create_train_state(f, jax.random.key(0), x0.shape, tx)
+    # re-create the optimizer state at f64 so momentum accumulates in f64
+    state = state.replace(params=params, batch_stats=stats,
+                          opt_state=tx.init(params))
+    sfns = StepFns(f)
+    f_losses = []
+    for i, (x, y) in enumerate(batches):
+        state, metrics = sfns.plain(state, jnp.asarray(x),
+                                    jnp.asarray(y), jax.random.key(i))
+        f_losses.append(float(metrics["loss"]))
+
+    # ----- torch side (reference loop, cifar.py:399-413 + 87-90)
+    opt = torch.optim.SGD(t.parameters(), lr, momentum=0.9,
+                          weight_decay=wd, nesterov=True)
+    sched = torch.optim.lr_scheduler.LambdaLR(
+        opt, lr_lambda=lambda step: 1e-6 / lr + (1 - 1e-6 / lr) * 0.5 * (
+            1 + np.cos(step / total * np.pi)))
+    t.train()
+    t_losses = []
+    for x, y in batches:
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        loss = torch.nn.functional.cross_entropy(
+            t(xt), torch.from_numpy(y))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        sched.step()
+        t_losses.append(loss.item())
+
+    print(json.dumps({"torch": t_losses, "jax": f_losses}))
+
+
+if __name__ == "__main__":
+    _driver(sys.argv[1])
