@@ -69,6 +69,10 @@ class ExperimentConfig:
     # runtime
     print_freq: int = 10
     eval_batch_size: int = 1000
+    # 'msgpack' (reference-style single files) or 'orbax' (async saves,
+    # keep-N retention, SIGTERM preemption flush + auto-resume; resume=
+    # the experiment dir)
+    ckpt_backend: str = "msgpack"
     resume: Optional[str] = None
     pretrained: Optional[str] = None   # torch .pth partial init
     evaluate: bool = False

@@ -104,6 +104,7 @@ class SegStepFns:
         self.plain = jax.jit(self._make_step(False), donate_argnums=dn)
         self.aug = jax.jit(self._make_step(True), donate_argnums=dn)
         self.eval_step = jax.jit(self._eval)
+        self.eval_sum = jax.jit(self._eval_sum)
 
     def _make_step(self, aug: bool):
         def step(state, images, labels, rng):
@@ -156,3 +157,25 @@ class SegStepFns:
                                            self.ignore_label)
         return {"loss": loss, "pred": pred, "intersection": inter,
                 "union": union, "target": target}
+
+    def _eval_sum(self, state, images, labels):
+        """Padding-aware summing eval: results are device-side SUMS so
+        the whole val loader accumulates on device and costs one host
+        sync (the pattern evaluation/classify.py::evaluate ships for
+        classification).  Padded rows carry all-ignore_label labels and
+        contribute nothing to any sum (reference per-batch validate:
+        segmentation/tool/train_cnsn.py:388-451)."""
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        out, _ = self.model.apply(variables, images, False, None, None)
+        valid = labels != self.ignore_label
+        safe = jnp.where(valid, labels, 0)
+        logp = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        nll_sum = jnp.sum(jnp.where(valid, nll, 0.0))
+        pred = jnp.argmax(out, axis=-1)
+        inter, union, target = seg_metrics(pred, labels, self.num_classes,
+                                           self.ignore_label)
+        return {"nll_sum": nll_sum,
+                "valid_px": jnp.sum(valid).astype(jnp.float32),
+                "intersection": inter, "union": union, "target": target}

@@ -73,6 +73,9 @@ class SegConfig:
     seed: int = 1
     print_freq: int = 10
     save_path: str = "./exp/seg"
+    # 'msgpack' (reference-style epoch files + keep-last rotation) or
+    # 'orbax' (async saves, native retention, SIGTERM preemption flush)
+    ckpt_backend: str = "msgpack"
     keep_last: int = 2
     batch_size_val: Optional[int] = None  # default: batch_size
     eval_freq: int = 1                    # validate every N epochs
@@ -172,6 +175,19 @@ class SegTrainer:
         self._it = 0
         os.makedirs(cfg.save_path, exist_ok=True)
         self.writer = MetricWriter(os.path.join(cfg.save_path, "metrics"))
+        self.ckpt = None
+        self._epoch = cfg.start_epoch
+        if cfg.ckpt_backend == "orbax":
+            from ..utils.orbax_io import (OrbaxCheckpointer,
+                                          install_preemption_save)
+            self.ckpt = OrbaxCheckpointer(
+                os.path.join(os.path.abspath(cfg.save_path), "orbax"),
+                keep=cfg.keep_last)
+            install_preemption_save(
+                lambda: (int(jax.device_get(self.state.step)), self.state),
+                self.ckpt,
+                get_extra=lambda: {"epoch": self._epoch},
+                exit_code=143)
         if cfg.weight and os.path.isfile(cfg.weight):
             # init-only load (reference --weight vs --resume distinction,
             # train_cnsn.py:179-204): params/batch_stats, no opt state
@@ -246,40 +262,84 @@ class SegTrainer:
         return meters["main"].avg, miou, macc, aacc
 
     def validate(self, loader=None, tag: str = "val"):
+        """Shard-safe, one-sync validation (reference per-batch loop:
+        segmentation/tool/train_cnsn.py:388-451).  Tail batches
+        (``drop_last=False``) are padded to the full batch size rounded
+        up to the mesh width — padded rows get all-ignore_label labels,
+        so they contribute nothing to the loss or mIoU histograms and
+        XLA sees ONE static shape for the whole loader (no per-tail
+        recompiles).  Histograms accumulate on device; the loader costs
+        a single host transfer at the end.  Reported loss is the mean
+        over valid pixels (the reference's per-batch-average weighting
+        differs only when batches have unequal valid-pixel counts)."""
         loader = loader or self.val_loader
         if loader is None:
             return None
-        loss = AverageMeter()
-        inter_sum = np.zeros(self.cfg.classes)
-        union_sum = np.zeros(self.cfg.classes)
-        target_sum = np.zeros(self.cfg.classes)
-        for images, labels in loader:
-            im = self.dp.shard_batch(jnp.asarray(images))
-            lb = self.dp.shard_batch(jnp.asarray(labels))
-            out = self.steps.eval_step(self.state, im, lb)
-            loss.update(float(out["loss"]), images.shape[0])
-            inter_sum += np.asarray(out["intersection"])
-            union_sum += np.asarray(out["union"])
-            target_sum += np.asarray(out["target"])
+        cfg = self.cfg
+        full = loader.batch_size
+        if full % self.dp.num_shards != 0:
+            full += self.dp.num_shards - full % self.dp.num_shards
+
+        def put(batch):
+            images, labels = batch
+            if len(labels) < full:
+                pad = full - len(labels)
+                images = np.concatenate(
+                    [images,
+                     np.zeros((pad,) + images.shape[1:], images.dtype)])
+                labels = np.concatenate(
+                    [labels,
+                     np.full((pad,) + labels.shape[1:], cfg.ignore_label,
+                             labels.dtype)])
+            return (self.dp.shard_batch(jnp.asarray(images)),
+                    self.dp.shard_batch(jnp.asarray(labels)))
+
+        from ..utils.prefetch import device_prefetch
+        totals = None
+        for im, lb in device_prefetch(loader, put,
+                                      depth=getattr(cfg, "prefetch_depth", 2)):
+            out = self.steps.eval_sum(self.state, im, lb)
+            if totals is None:
+                totals = out
+            else:  # device-side accumulation: no per-batch host sync
+                totals = jax.tree.map(jnp.add, totals, out)
+        if totals is None:
+            return None
+        inter_sum = np.asarray(totals["intersection"])
+        union_sum = np.asarray(totals["union"])
+        target_sum = np.asarray(totals["target"])
+        loss = float(totals["nll_sum"]) / max(float(totals["valid_px"]), 1.0)
         miou, macc, aacc = _summarize(inter_sum, union_sum, target_sum)
         print(f"{tag} result: mIoU/mAcc/allAcc "
               f"{miou:.4f}/{macc:.4f}/{aacc:.4f}")
-        return {"loss": loss.avg, "mIoU": miou, "mAcc": macc,
+        return {"loss": loss, "mIoU": miou, "mAcc": macc,
                 "allAcc": aacc,
                 "iou_class": inter_sum / np.maximum(union_sum, 1e-10)}
 
-    def resume(self, path: str) -> int:
-        """Restore state from a checkpoint file; returns the epoch
-        (train_cnsn.py:191-204 --resume)."""
+    def resume(self, path: Optional[str] = None) -> int:
+        """Restore state; returns the epoch (train_cnsn.py:191-204
+        --resume).  Orbax backend: ``path`` is ignored (latest step in
+        save_path/orbax)."""
+        if self.ckpt is not None:
+            self.state, step, extra = self.ckpt.restore(
+                self.state, extra_template={"epoch": 0})
+            epoch = int(extra.get("epoch", 0)) if step is not None else 0
+            print(f"=> restored orbax step {step} (epoch {epoch})")
+            return epoch
         from ..utils.checkpoint import restore_state
         self.state, epoch, _ = restore_state(path, self.state)
         print(f"=> loaded checkpoint '{path}' (epoch {epoch})")
         return epoch
 
     def save_checkpoint(self, epoch: int):
-        """Epoch files with keep-last-N rotation (train_cnsn.py:255-261)."""
-        from ..utils.checkpoint import save_checkpoint as _save
+        """Epoch files with keep-last-N rotation (train_cnsn.py:255-261);
+        orbax backend keeps the newest ``keep_last`` steps natively."""
         cfg = self.cfg
+        if self.ckpt is not None:
+            step = int(jax.device_get(self.state.step))
+            self.ckpt.save(step, self.state, extra={"epoch": epoch})
+            return os.path.join(cfg.save_path, "orbax", str(step))
+        from ..utils.checkpoint import save_checkpoint as _save
         path = _save(self.state, "seg", cfg.save_path, epoch, 0.0, False,
                      keep_epoch_file=True)
         epochs = sorted(
@@ -293,6 +353,7 @@ class SegTrainer:
         cfg = self.cfg
         end = epochs if epochs is not None else cfg.epochs
         for epoch in range(cfg.start_epoch, end):
+            self._epoch = epoch
             loss, miou, macc, aacc = self.train_epoch(epoch)
             print(f"Train epoch [{epoch + 1}]: mIoU/mAcc/allAcc "
                   f"{miou:.4f}/{macc:.4f}/{aacc:.4f}")
@@ -303,4 +364,6 @@ class SegTrainer:
                     self.validate()
                 if self.cross_loader:
                     self.validate(self.cross_loader, tag="cross-domain")
+        if self.ckpt is not None:
+            self.ckpt.manager.wait_until_finished()
         return self.state

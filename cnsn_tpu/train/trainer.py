@@ -129,7 +129,35 @@ class Trainer:
 
         self.start_epoch = 0
         self.best_acc = 0.0
-        if cfg.resume and os.path.isfile(cfg.resume):
+        self.ckpt = None
+        if cfg.ckpt_backend == "orbax":
+            # resume = the experiment dir; auto-restores the latest step
+            # (reference resume semantics: cifar.py:415-430)
+            if cfg.resume and os.path.isdir(cfg.resume):
+                self.exp_dir = cfg.resume
+            else:
+                self.exp_dir = get_log_dir_path(cfg.exp_dir, cfg.exp_id)
+                os.makedirs(self.exp_dir, exist_ok=True)
+            from ..utils.orbax_io import (OrbaxCheckpointer,
+                                          install_preemption_save)
+            self.ckpt = OrbaxCheckpointer(
+                os.path.join(os.path.abspath(self.exp_dir), "orbax"), keep=2)
+            self.state, step, extra = self.ckpt.restore(
+                self.state, extra_template={"epoch": 0, "best_acc": 0.0})
+            if step is not None:
+                self.start_epoch = int(extra["epoch"])
+                self.best_acc = float(extra["best_acc"])
+                print(f"=> restored orbax step {step} "
+                      f"(epoch {self.start_epoch})")
+            # preemption: SIGTERM → flush a final checkpoint, then exit
+            # with the conventional 143 so the scheduler restarts us
+            install_preemption_save(
+                lambda: (int(jax.device_get(self.state.step)), self.state),
+                self.ckpt,
+                get_extra=lambda: {"epoch": self._epoch,
+                                   "best_acc": self.best_acc},
+                exit_code=143)
+        elif cfg.resume and os.path.isfile(cfg.resume):
             self.state, self.start_epoch, self.best_acc = restore_state(
                 cfg.resume, self.state)
             self.exp_dir = os.path.dirname(cfg.resume)
@@ -138,6 +166,7 @@ class Trainer:
         else:
             self.exp_dir = get_log_dir_path(cfg.exp_dir, cfg.exp_id)
             os.makedirs(self.exp_dir, exist_ok=True)
+        self._epoch = self.start_epoch
         self.log_file = os.path.join(self.exp_dir, "log.txt")
         self._rng = np.random.RandomState(cfg.seed)
         self._step_key = jax.random.key(cfg.seed + 7919)
@@ -235,15 +264,25 @@ class Trainer:
             f.write("epoch\tlr\tTrain Loss\tTest Err1\tBest Test Err1\n")
 
         for epoch in range(self.start_epoch, epochs):
+            self._epoch = epoch
             lr = float(self.schedule(self.state.step))
             t0 = time.time()
             train_loss = self.train_epoch()
             test_loss, test_acc = self.evaluate_clean()
             is_best = test_acc > self.best_acc
             self.best_acc = max(test_acc, self.best_acc)
-            save_checkpoint(self.state, type(self.model).__name__,
-                            self.exp_dir, epoch + 1, self.best_acc, is_best,
-                            keep_epoch_file=(cfg.dataset == "imagenet"))
+            if self.ckpt is not None:
+                # async: the save overlaps the next epoch's steps
+                self.ckpt.save(int(jax.device_get(self.state.step)),
+                               self.state,
+                               extra={"epoch": epoch + 1,
+                                      "best_acc": self.best_acc},
+                               metrics={"test_acc": float(test_acc)})
+            else:
+                save_checkpoint(self.state, type(self.model).__name__,
+                                self.exp_dir, epoch + 1, self.best_acc,
+                                is_best,
+                                keep_epoch_file=(cfg.dataset == "imagenet"))
             with open(self.log_file, "a") as f:
                 f.write(f"{epoch:d}\t{lr:g}\t{train_loss:2.2f}\t"
                         f"{100 - 100. * test_acc:2.2f}\t"
@@ -251,6 +290,8 @@ class Trainer:
             print(f"epoch {epoch}: loss {train_loss:.3f} "
                   f"err {100 - 100. * test_acc:.2f} "
                   f"({time.time() - t0:.1f}s)")
+        if self.ckpt is not None:
+            self.ckpt.manager.wait_until_finished()
         return self.best_acc
 
     def test_corruptions(self) -> float:

@@ -24,3 +24,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu", jax.devices()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy integration tests (multi-minute compiles / "
+        "subprocesses); deselect with -m 'not slow' for a quick loop")

@@ -78,9 +78,11 @@ def test_orbax_roundtrip(tmp_path, small_model_state):
     ckpt = OrbaxCheckpointer(str(tmp_path / "orbax"), keep=2)
     state2, _ = steps.plain(state, jnp.ones((2, 32, 32, 3)),
                             jnp.zeros((2,), jnp.int32), jax.random.key(0))
-    ckpt.save(1, state2, wait=True)
-    restored, step = ckpt.restore(state)
+    ckpt.save(1, state2, extra={"epoch": 3, "best_acc": 0.5}, wait=True)
+    restored, step, extra = ckpt.restore(
+        state, extra_template={"epoch": 0, "best_acc": 0.0})
     assert step == 1
+    assert int(extra["epoch"]) == 3 and float(extra["best_acc"]) == 0.5
     a = jax.tree.leaves(state2.params)[0]
     b = jax.tree.leaves(restored.params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

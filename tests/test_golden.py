@@ -25,8 +25,9 @@ from cnsn_tpu.models import build_model
 from cnsn_tpu.utils.torch_import import allconv_key_map, convert_state_dict
 
 REFERENCE = "/root/reference"
-pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE),
-                                reason="reference repo not available")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                                 reason="reference repo not available")]
 if REFERENCE not in sys.path:
     sys.path.insert(0, REFERENCE)
 

@@ -35,8 +35,9 @@ import numpy as np
 import pytest
 
 REFERENCE = "/root/reference"
-pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE),
-                                reason="reference repo not available")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                                 reason="reference repo not available")]
 
 CONFIGS = {
     # model -> (n_steps, batch, size, classes, lr, wd, total_steps)

@@ -160,6 +160,7 @@ class TestTensorParallel:
     ResNet bottleneck (parallel/tensor.py) runs the unchanged jitted CN
     step and matches the data-parallel-only loss."""
 
+    @pytest.mark.slow
     def test_tp_step_matches_dp(self):
         import numpy as np
         import jax
@@ -203,6 +204,7 @@ class TestTensorParallel:
                          jax.random.key(3))
         assert np.isfinite(float(m2["loss"]))
 
+    @pytest.mark.slow
     def test_tp_flagship_cn_image_step(self):
         """The bench flagship workload (in-network SN + image-space CN)
         runs over the 2-D mesh: sharded-image CrossNorm gather + SN BN1d

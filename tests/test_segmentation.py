@@ -272,3 +272,36 @@ def test_seg_trainer_train_epoch_smoke(tmp_path):
     val_ds = synthetic_seg_dataset(4, hw=(33, 33), classes=5, seed=7)
     tr = SegTrainer(cfg, train_ds, val_ds, None)
     tr.train_epoch(0)
+
+
+def test_seg_validate_shard_safe_odd_tail(tmp_path):
+    """validate() over the full 8-device mesh with an odd-sized val set
+    (drop_last=False ⇒ a 3-row tail on batch 4): tail batches must be
+    padded to the mesh width (no shard error, no per-tail recompile)
+    and the padding must not perturb the metrics — the result has to
+    match an unsharded run over the same data."""
+    from cnsn_tpu.segmentation.data import synthetic_seg_dataset
+    from cnsn_tpu.segmentation.trainer import SegConfig, SegTrainer
+
+    kw = dict(arch="fcn_cnsn", classes=5, train_h=33, train_w=33,
+              batch_size=4, batch_size_val=4, epochs=1,
+              cnsn_type="cnsn", pos="residual", cn_pos="post",
+              block_idxs="1", crop="neither", mix_prob=1.0,
+              print_freq=2)
+    train_ds = synthetic_seg_dataset(8, hw=(41, 41), classes=5)
+    val_ds = synthetic_seg_dataset(7, hw=(33, 33), classes=5, seed=7)
+
+    tr8 = SegTrainer(SegConfig(save_path=str(tmp_path / "m8"),
+                               num_devices=8, **kw), train_ds, val_ds)
+    r8 = tr8.validate()
+
+    tr1 = SegTrainer(SegConfig(save_path=str(tmp_path / "m1"),
+                               num_devices=1, **kw), train_ds, val_ds)
+    pull = lambda t: tr1.dp.replicate(jax.device_get(t))
+    tr1.state = tr1.state.replace(params=pull(tr8.state.params),
+                                  batch_stats=pull(tr8.state.batch_stats))
+    r1 = tr1.validate()
+
+    assert abs(r8["mIoU"] - r1["mIoU"]) < 1e-6
+    assert abs(r8["loss"] - r1["loss"]) < 1e-5
+    np.testing.assert_allclose(r8["iou_class"], r1["iou_class"], atol=1e-6)
