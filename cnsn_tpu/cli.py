@@ -22,6 +22,18 @@ def _pin_platform():
             jax.config.update("jax_platforms", want)
 
 
+def _install_tee(exp_dir):
+    """tee stdout/stderr into the exp dir (train_cnsn.sh:
+    ``2>&1 | tee ${model_dir}/train-$now.log``)."""
+    import sys
+    import time
+
+    from .utils.provenance import TeeLog
+    path = os.path.join(exp_dir, f"train-{time.strftime('%Y%m%d_%H%M%S')}.log")
+    sys.stdout = TeeLog(sys.stdout, path)
+    sys.stderr = TeeLog(sys.stderr, path)
+
+
 def _seg_main(args):
     """Segmentation training (reference tool/train_cnsn.sh flow)."""
     import dataclasses
@@ -65,6 +77,8 @@ def _seg_main(args):
         cross_ds = (make_list_dataset(data_root, cross_list)
                     if cross_list else None)
     trainer = SegTrainer(cfg, train_ds, val_ds, cross_ds)
+    if cfg.snapshot:
+        _install_tee(cfg.save_path)
     if args.command == "seg-train":
         trainer.fit()
     else:
@@ -91,6 +105,8 @@ def main(argv=None):
     from .train.trainer import Trainer
 
     trainer = Trainer(cfg)
+    if getattr(cfg, "snapshot", True):
+        _install_tee(trainer.exp_dir)
     if args.command == "train":
         trainer.fit()
         if cfg.corrupt_data_dir:

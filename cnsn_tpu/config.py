@@ -73,6 +73,9 @@ class ExperimentConfig:
     # keep-N retention, SIGTERM preemption flush + auto-resume; resume=
     # the experiment dir)
     ckpt_backend: str = "msgpack"
+    # snapshot code+config into the exp dir (reference train_cnsn.sh
+    # provenance: cp driver+config, tee log)
+    snapshot: bool = True
     resume: Optional[str] = None
     pretrained: Optional[str] = None   # torch .pth partial init
     evaluate: bool = False

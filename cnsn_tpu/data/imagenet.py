@@ -56,10 +56,14 @@ def _decode(path: str) -> Image.Image:
 
 
 class ImageNetLoader:
-    """mode: 'train' | 'train_augmix' | 'eval'.
+    """mode: 'train' | 'train_augmix' | 'train_geom' | 'eval'.
 
     train_augmix yields (3, B, 224, 224, 3): geometric crop/flip then
     (clean, augmix, augmix) views, severity 1 (imagenet.py:487-488).
+    train_geom yields the geometric stage only — (B, 224, 224, 3)
+    uint8 after RandomResizedCrop + flip — feeding the on-device AugMix
+    chain (data/augmix_jax.py), which moves the 3-view PIL op cost off
+    the host CPUs (the AugMix recipes' input bottleneck).
     """
 
     def __init__(self, data: ImageFolderData, batch_size: int,
@@ -99,6 +103,13 @@ class ImageNetLoader:
         if rng.rand() < 0.5:
             arr = arr[:, ::-1]
         return imagenet_normalize(arr)
+
+    def _one_train_geom(self, rng, path):
+        img = random_resized_crop(rng, _decode(path), self.image_size)
+        arr = np.asarray(img, np.uint8)
+        if rng.rand() < 0.5:
+            arr = np.ascontiguousarray(arr[:, ::-1])
+        return arr
 
     def _one_train_augmix(self, rng, path):
         img = random_resized_crop(rng, _decode(path), self.image_size)
@@ -144,6 +155,7 @@ class ImageNetLoader:
             return
 
         fn = {"train": self._one_train, "train_augmix": self._one_train_augmix,
+              "train_geom": self._one_train_geom,
               "eval": self._one_eval}[self.mode]
         with ThreadPoolExecutor(self.workers) as pool:
             for s in range(0, stop, b):
@@ -157,6 +169,11 @@ class ImageNetLoader:
                 if self.mode == "train_augmix":
                     views = list(zip(*results))
                     batch = np.stack([np.stack(v) for v in views])
+                elif self.mode == "train_geom":
+                    # stays uint8: the device-side AugMix consumes raw
+                    # pixels (and the host→device copy is 4x smaller)
+                    yield np.stack(results), labels
+                    continue
                 else:
                     batch = np.stack(results)
                 yield batch.astype(np.float32), labels

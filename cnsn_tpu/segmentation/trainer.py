@@ -76,6 +76,7 @@ class SegConfig:
     # 'msgpack' (reference-style epoch files + keep-last rotation) or
     # 'orbax' (async saves, native retention, SIGTERM preemption flush)
     ckpt_backend: str = "msgpack"
+    snapshot: bool = True   # code+config snapshot (train_cnsn.sh parity)
     keep_last: int = 2
     batch_size_val: Optional[int] = None  # default: batch_size
     eval_freq: int = 1                    # validate every N epochs
@@ -174,6 +175,9 @@ class SegTrainer:
         self._key = jax.random.key(cfg.seed + 23)
         self._it = 0
         os.makedirs(cfg.save_path, exist_ok=True)
+        if cfg.snapshot:
+            from ..utils.provenance import snapshot_experiment
+            snapshot_experiment(cfg.save_path, cfg, tee=False)
         self.writer = MetricWriter(os.path.join(cfg.save_path, "metrics"))
         self.ckpt = None
         self._epoch = cfg.start_epoch

@@ -78,7 +78,11 @@ class Trainer:
             from ..data.imagenet import ImageNetLoader, scan_image_folder
             train_dir = os.path.join(cfg.data_dir, "train")
             val_dir = os.path.join(cfg.data_dir, "validation")
-            mode = ("train_augmix" if "augmix" in cfg.regime else "train")
+            if "augmix" in cfg.regime:
+                mode = ("train_geom" if cfg.ondevice_augmix
+                        else "train_augmix")
+            else:
+                mode = "train"
             self.train_loader = ImageNetLoader(
                 scan_image_folder(train_dir), cfg.batch_size, mode=mode,
                 seed=cfg.seed, workers=cfg.workers,
@@ -168,6 +172,11 @@ class Trainer:
             os.makedirs(self.exp_dir, exist_ok=True)
         self._epoch = self.start_epoch
         self.log_file = os.path.join(self.exp_dir, "log.txt")
+        if getattr(cfg, "snapshot", True):
+            # provenance snapshot (train_cnsn.sh: cp driver+config into
+            # the exp dir); the CLI adds the log tee
+            from ..utils.provenance import snapshot_experiment
+            snapshot_experiment(self.exp_dir, cfg, tee=False)
         self._rng = np.random.RandomState(cfg.seed)
         self._step_key = jax.random.key(cfg.seed + 7919)
         self._step_idx = 0
@@ -205,13 +214,23 @@ class Trainer:
         for i, (im, lb) in enumerate(staged):
             key = self._next_key()
             if ondevice:
-                # uint8 geometry batch → 3 views generated on device
+                # uint8 geometry batch → 3 views generated on device;
+                # normalization follows the dataset (CIFAR 0.5/0.5 —
+                # cifar.py:330; ImageNet torchvision stats —
+                # imagenet.py:473-475)
                 from ..data.augmix_jax import augmix_batch
                 key, k_aug = jax.random.split(key)
+                if cfg.dataset == "imagenet":
+                    from ..data.transforms import (IMAGENET_MEAN,
+                                                   IMAGENET_STD)
+                    norm_kw = dict(mean=tuple(map(float, IMAGENET_MEAN)),
+                                   std=tuple(map(float, IMAGENET_STD)))
+                else:
+                    norm_kw = {}
                 im = augmix_batch(
                     k_aug, im, severity=float(cfg.aug_severity),
                     mixture_width=cfg.mixture_width,
-                    mixture_depth=cfg.mixture_depth)
+                    mixture_depth=cfg.mixture_depth, **norm_kw)
             gate = (cfg.cn_prob is not None
                     and float(self._rng.rand(1)[0]) < cfg.cn_prob)
 

@@ -119,6 +119,43 @@ def ibn_augmix():
             "value": round(b / dt, 2), "unit": "images/sec/chip"}
 
 
+def ibn_augmix_ondevice():
+    """ibn_augmix + the full on-device AugMix chain (train_geom loader
+    feeds uint8 geometry; augmix_batch generates the 3 views at 224²
+    with torchvision normalization on the TPU).  Directly comparable to
+    ibn_augmix, whose views arrive premade — the delta is the true
+    in-graph cost of AugMix generation, which on the host would be
+    3 PIL chains × 224² per sample."""
+    from cnsn_tpu.data.augmix_jax import augmix_batch
+    from cnsn_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+    from cnsn_tpu.models import build_model
+    from cnsn_tpu.train import StepFns, cosine_lr, create_train_state, make_sgd
+    model = build_model("resnet50_ibn_b", num_classes=1000, pos="residual",
+                        cnsn_type="sn", crop="neither", beta=1.0,
+                        dtype=jnp.bfloat16)
+    tx = make_sgd(cosine_lr(0.1, 10_000), weight_decay=1e-4, nesterov=False)
+    b = int(os.environ.get("IBN_BATCH", "64"))
+    state = [create_train_state(model, jax.random.key(0),
+                                (b, 224, 224, 3), tx)]
+    steps = StepFns(model, active_num=1, image_crop="neither",
+                    image_beta=1.0, donate=True)
+    u8 = jnp.zeros((b, 224, 224, 3), jnp.uint8)
+    y = jnp.zeros((b,), jnp.int32)
+    mean = tuple(map(float, IMAGENET_MEAN))
+    std = tuple(map(float, IMAGENET_STD))
+
+    def fn():
+        views = augmix_batch(jax.random.key(2), u8, severity=1.0,
+                             mean=mean, std=std)
+        state[0], m = steps.cn_image_augmix(state[0], views, y,
+                                            jax.random.key(3))
+        return m
+
+    dt = timed(fn, lambda m: float(m["loss"]), 10, 2)
+    return {"metric": "ibn_b_sn_augmix_ondevice_train_throughput",
+            "value": round(b / dt, 2), "unit": "images/sec/chip"}
+
+
 def seg_train():
     """FCN-CNSN train step (bf16, remat); SEG_SIZE/SEG_BATCH env
     — the shipped gtav recipe shape is 713x713, batch 16."""
@@ -150,6 +187,7 @@ def seg_train():
 
 ENTRIES = {"r50_eval": r50_eval, "wrn_train": wrn_train,
            "wrn_augmix": wrn_augmix, "ibn_augmix": ibn_augmix,
+           "ibn_augmix_ondevice": ibn_augmix_ondevice,
            "seg_train": seg_train}
 
 if __name__ == "__main__":

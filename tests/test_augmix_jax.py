@@ -246,3 +246,45 @@ class TestDistributionFidelity:
             host_b.mean() - host_a.mean()) + 0.01
         assert abs(dev.std() - host_a.std()) <= 3 * abs(
             host_b.std() - host_a.std()) + 0.02
+
+
+class TestImageNet224:
+    """On-device AugMix at the ImageNet recipe shape (224², torchvision
+    normalization): the run-cnsn-augmix path (imagenet-scripts/
+    run-cnsn-augmix.sh, reference severity 1, imagenet.py:487-488)."""
+
+    @pytest.mark.slow
+    def test_imagenet_batch_fidelity_224(self):
+        from cnsn_tpu.data.augmix import augmix
+        from cnsn_tpu.data.augmix_jax import augmix_batch
+        from cnsn_tpu.data.transforms import (IMAGENET_MEAN, IMAGENET_STD,
+                                              imagenet_normalize)
+        mean = tuple(map(float, IMAGENET_MEAN))
+        std = tuple(map(float, IMAGENET_STD))
+        imgs = [rand_img(i, hw=224) for i in range(2)]
+        imgs += [np.minimum(
+            np.add.outer(np.arange(224), np.arange(224))[..., None] // 2,
+            255).astype(np.uint8).repeat(3, -1) for _ in range(2)]
+
+        batch = jnp.asarray(np.stack(imgs * 4))  # 16 images
+        views = augmix_batch(jax.random.key(3), batch, severity=1.0,
+                             mean=mean, std=std)
+        assert views.shape == (3, 16, 224, 224, 3)
+        # clean view must be exactly torchvision-normalized input
+        clean = np.asarray(views[0])
+        expect = np.stack([imagenet_normalize(im) for im in imgs * 4])
+        np.testing.assert_allclose(clean, expect, atol=1e-5)
+
+        # aug views: compare value distribution against the host PIL
+        # chain at the same severity/normalization
+        rng = np.random.RandomState(0)
+        host = np.stack([
+            augmix(rng, imgs[k % 4], imagenet_normalize, 224,
+                   aug_severity=1) for k in range(32)])
+        dev = np.asarray(views[1:]).reshape(-1, 224, 224, 3)
+        assert abs(dev.mean() - host.mean()) < 0.1
+        assert abs(dev.std() - host.std()) < 0.15
+        # normalized range sanity (≈ (x/255 - mean)/std bounds)
+        lo = (0 - max(mean)) / min(std) - 0.1
+        hi = (1 - min(mean)) / min(std) + 0.1
+        assert dev.min() >= lo and dev.max() <= hi

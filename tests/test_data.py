@@ -119,6 +119,12 @@ class TestImageFolder:
         x, y = next(iter(loader))
         assert x.shape == (3, 2, 32, 32, 3)
 
+        # geometry-only stage for on-device AugMix: uint8 pixels
+        loader = ImageNetLoader(data, 2, mode="train_geom", image_size=32,
+                                workers=2)
+        x, y = next(iter(loader))
+        assert x.shape == (2, 32, 32, 3) and x.dtype == np.uint8
+
 
 class TestAugMixNoJsd:
     def test_single_view_mode(self):

@@ -116,3 +116,31 @@ class TestDevicePrefetch:
                 break
             time.sleep(0.1)
         assert threading.active_count() <= n_before
+
+
+def test_provenance_snapshot(tmp_path, capsys):
+    """Exp-dir provenance (reference train_cnsn.sh: cp driver+config,
+    tee log): config.yaml + code zip + optional stdout tee."""
+    import io
+    import sys
+    import zipfile
+
+    from cnsn_tpu.config import ExperimentConfig
+    from cnsn_tpu.utils.provenance import TeeLog, snapshot_experiment
+
+    out = snapshot_experiment(str(tmp_path), ExperimentConfig(lr=0.42),
+                              tee=False)
+    assert out["config"] and os.path.exists(out["config"])
+    import yaml
+    assert yaml.safe_load(open(out["config"]))["lr"] == 0.42
+    with zipfile.ZipFile(out["code"]) as z:
+        names = z.namelist()
+    assert any(n.endswith("cnsn_tpu/nn/cnsn.py") for n in names)
+    assert any(n.endswith("cnsn_tpu/utils/provenance.py") for n in names)
+
+    buf, log = io.StringIO(), str(tmp_path / "t.log")
+    tee = TeeLog(buf, log)
+    tee.write("hello\n")
+    tee.flush()
+    assert buf.getvalue() == "hello\n"
+    assert open(log).read() == "hello\n"
