@@ -28,6 +28,7 @@ Measured fidelity vs the PIL chain (tests/test_augmix_jax.py):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -95,9 +96,40 @@ def _row_shear_matrix(h: int, w: int, offsets: jax.Array) -> jax.Array:
     return jnp.where(valid, jnp.maximum(0.0, 1.0 - jnp.abs(s - src)), 0.0)
 
 
+def _shear_rows_gather(img: jax.Array, offsets: jax.Array) -> jax.Array:
+    """Same semantics as the matmul shear, via two 1-D gathers.
+
+    At 224² the (H, W, W) interpolation matrix is 45 MB of HBM traffic
+    per shear (vs 12 KB at 32²), so large images flip to gathers: the
+    two taps read 2×HWC elements total.  Bit-identical to
+    ``_row_shear_matrix`` (same PIL center-bounds zero fill + edge-tap
+    clamp), equivalence-tested."""
+    h, w = img.shape[:2]
+    x = jnp.arange(w, dtype=jnp.float32)
+    src = x[None, :] + offsets[:, None]                   # (h, w)
+    valid = (src >= -0.5) & (src < w - 0.5)
+    srcc = jnp.clip(src, 0.0, w - 1.0)
+    x0 = jnp.floor(srcc)
+    f = (srcc - x0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    v0 = jnp.take_along_axis(img, x0i[..., None], axis=1)
+    v1 = jnp.take_along_axis(img, x1i[..., None], axis=1)
+    return jnp.where(valid[..., None], v0 * (1.0 - f) + v1 * f, 0.0)
+
+
+# 'auto' = matmul shear below _SHEAR_GATHER_MIN pixels (MXU wins on
+# small planes, measured at 32²), gathers above (HBM wins at 224²).
+_SHEAR_IMPL = os.environ.get("CNSN_AUGMIX_SHEAR", "auto")
+_SHEAR_GATHER_MIN = 96 * 96
+
+
 def _shear_rows(img: jax.Array, offsets: jax.Array) -> jax.Array:
     """Resample each row y at x + offsets[y] (bilinear, zero fill)."""
     h, w = img.shape[:2]
+    if _SHEAR_IMPL == "gather" or (_SHEAR_IMPL == "auto"
+                                   and h * w >= _SHEAR_GATHER_MIN):
+        return _shear_rows_gather(img, offsets)
     m = _row_shear_matrix(h, w, offsets)
     return jnp.einsum("yxs,ysc->yxc", m, img,
                       preferred_element_type=jnp.float32)
@@ -127,20 +159,32 @@ def _autocontrast(key, img, severity):
 
 
 def _equalize(key, img, severity):
-    def chan(c):
-        # histogram and LUT application as one-hot matmuls (MXU) —
-        # scatter/gather by pixel value are slow on TPU
-        onehot = jax.nn.one_hot(jnp.clip(c, 0, 255).astype(jnp.int32), 256,
-                                dtype=jnp.float32)  # (H, W, 256)
-        hist = jnp.sum(onehot, axis=(0, 1))
+    # large planes: the (H, W, 256) one-hot is 51 MB/channel at 224² —
+    # use a scatter-add histogram + 256-entry LUT gather instead
+    big = img.shape[0] * img.shape[1] >= _SHEAR_GATHER_MIN
+
+    def lut_of(hist):
         # PIL equalize: step = (pixels - last_nonzero_count) // 255
         nonzero = hist > 0
         last_idx = 255 - jnp.argmax(nonzero[::-1])
         step = (jnp.sum(hist) - hist[last_idx]) // 255
         cum = jnp.concatenate([jnp.zeros(1), jnp.cumsum(hist)[:-1]])
         lut = (cum + step // 2) // jnp.maximum(step, 1)
-        lut = jnp.clip(lut, 0, 255)
-        mapped = onehot @ lut
+        return jnp.clip(lut, 0, 255), step
+
+    def chan(c):
+        ci = jnp.clip(c, 0, 255).astype(jnp.int32)
+        if big:
+            hist = jnp.zeros((256,), jnp.float32).at[ci.reshape(-1)].add(1.0)
+            lut, step = lut_of(hist)
+            mapped = lut[ci]
+        else:
+            # histogram and LUT application as one-hot matmuls (MXU) —
+            # measured faster than scatter/gather on small planes
+            onehot = jax.nn.one_hot(ci, 256, dtype=jnp.float32)
+            hist = jnp.sum(onehot, axis=(0, 1))
+            lut, step = lut_of(hist)
+            mapped = onehot @ lut
         return jnp.where(step > 0, mapped, c)
 
     return jnp.stack([chan(img[..., i]) for i in range(3)], axis=-1)

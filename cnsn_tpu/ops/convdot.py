@@ -93,13 +93,26 @@ def _dgrad_flip_conv(dy, k, padding):
 def _vjp_bwd(stride, padding, wgrad, dgrad, res, dy):
     x, k = res
 
-    need_auto = (wgrad != "dot") or not (dgrad == "dot" and stride == 1)
+    use_pallas = False
+    if wgrad == "pallas" and stride == 1 and k.shape[:2] == (3, 3):
+        from .pallas import pallas_dispatch
+        from .pallas.conv_wgrad import wgrad3x3_fits
+        ok, interp = pallas_dispatch()
+        use_pallas = ok and wgrad3x3_fits(
+            x.shape[1], x.shape[2], x.shape[3], dy.shape[-1],
+            jnp.dtype(x.dtype).itemsize)
+
+    need_auto = (not use_pallas and wgrad != "dot") \
+        or not (dgrad == "dot" and stride == 1)
     if need_auto:
         _, pullback = jax.vjp(
             lambda x_, k_: _fwd_conv(x_, k_, stride, padding), x, k)
         dx_auto, dk_auto = pullback(dy)
 
-    if wgrad == "dot":
+    if use_pallas:
+        from .pallas.conv_wgrad import wgrad3x3_pallas
+        dk = wgrad3x3_pallas(x, dy, padding, interp).astype(k.dtype)
+    elif wgrad == "dot":
         dk = _wgrad_taps(x, dy, k.shape, stride, padding).astype(k.dtype)
     else:
         dk = dk_auto

@@ -1,0 +1,79 @@
+"""Pallas TPU kernel: implicit-GEMM 3×3/stride-1 conv weight gradient.
+
+The round-3 A/B showed XLA's conv-backward custom-calls beat XLA-level
+im2col dot lowerings (tap-dots lost 4.5% end-to-end — the 9 shifted
+slices re-read the activation 9× from HBM).  This kernel removes that
+re-read: each grid step stages ONE padded input plane and one dy plane
+in VMEM, then issues the 9 tap dot_generals against the *staged* copy —
+HBM traffic is one read of x and dy total (the custom-call's own
+minimum), and all FLOPs land on the MXU as (Cin × Ho·Wo)·(Ho·Wo × Cout)
+matmuls accumulated into a resident (9·Cin, Cout) fp32 scratch.
+
+dW[kh,kw,ci,co] = Σ_{b,h,w} xpad[b, h+kh, w+kw, ci] · dy[b,h,w,co]
+
+Used by ops/convdot.py behind CNSN_CONV3X3=pallas (opt-in, A/B'd
+end-to-end before any default flips — the round-2 lesson).  Reference
+conv semantics: torch Conv2d backward (models/imagenet/resnet_cnsn.py
+convs); numerics tested against jax autodiff.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+__all__ = ["wgrad3x3_pallas", "wgrad3x3_fits"]
+
+
+def wgrad3x3_fits(h: int, w: int, cin: int, cout: int,
+                  itemsize: int = 2, budget: int = 12 * 1024 * 1024) -> bool:
+    """VMEM feasibility for one-image-per-step staging."""
+    xp_bytes = (h + 2) * (w + 2) * cin * itemsize
+    dy_bytes = h * w * cout * itemsize
+    out_bytes = 9 * cin * cout * 4
+    return xp_bytes + dy_bytes + out_bytes < budget
+
+
+def _kernel(xp_ref, dy_ref, out_ref, *, ho, wo, cin, cout):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    xp = xp_ref[0].astype(jnp.float32)                    # (ho+2, wo+2, cin)
+    dy = dy_ref[0].astype(jnp.float32).reshape(ho * wo, cout)
+    for kh in range(3):
+        for kw in range(3):
+            xs = xp[kh:kh + ho, kw:kw + wo, :].reshape(ho * wo, cin)
+            acc = jax.lax.dot_general(
+                xs, dy, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (cin, cout)
+            t = kh * 3 + kw
+            out_ref[t * cin:(t + 1) * cin, :] += acc
+
+
+def wgrad3x3_pallas(x: jax.Array, dy: jax.Array, padding: int = 1,
+                    interpret: bool = False) -> jax.Array:
+    """(B,H,W,Cin) x, (B,H,W,Cout) dy → (3,3,Cin,Cout) fp32 dW for the
+    3×3/s1/'same' conv.  One image per sequential grid step."""
+    b, h, w, cin = x.shape
+    cout = dy.shape[-1]
+    assert dy.shape[:3] == (b, h, w), (x.shape, dy.shape)
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, ho=h, wo=w, cin=cin, cout=cout),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h + 2 * padding, w + 2 * padding, cin),
+                         lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, w, cout), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((9 * cin, cout), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((9 * cin, cout), jnp.float32),
+        interpret=interpret,
+    )(xp, dy)
+    return out.reshape(3, 3, cin, cout)

@@ -16,6 +16,9 @@ MATRIX = [
     ("flagship_conv_wgrad", {"CNSN_CONV3X3": "wgrad"}),
     ("flagship_conv_dgrad", {"CNSN_CONV3X3": "dgrad"}),
 ]
+if os.environ.get("CONV3X3_WAVE") == "pallas":
+    # wave 2: implicit-GEMM Pallas wgrad (ops/pallas/conv_wgrad.py)
+    MATRIX = [("flagship_conv_pallas", {"CNSN_CONV3X3": "pallas"})]
 
 def main():
     os.makedirs(os.path.dirname(OUT), exist_ok=True)

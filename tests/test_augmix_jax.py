@@ -288,3 +288,42 @@ class TestImageNet224:
         lo = (0 - max(mean)) / min(std) - 0.1
         hi = (1 - min(mean)) / min(std) + 0.1
         assert dev.min() >= lo and dev.max() <= hi
+
+
+class TestLargePlaneImpls:
+    """The 224²-scale lowerings (gather shears, scatter-hist equalize)
+    must be bit-equivalent to the small-plane MXU forms."""
+
+    def test_shear_gather_matches_matmul(self):
+        from cnsn_tpu.data.augmix_jax import (_row_shear_matrix,
+                                              _shear_rows_gather)
+        rng = np.random.RandomState(0)
+        for h, w in ((17, 23), (32, 32), (96, 96)):
+            img = jnp.asarray(rng.rand(h, w, 3).astype(np.float32) * 255)
+            offs = jnp.asarray(
+                rng.uniform(-0.6 * w, 0.6 * w, h).astype(np.float32))
+            m = _row_shear_matrix(h, w, offs)
+            ref = jnp.einsum("yxs,ysc->yxc", m, img,
+                             preferred_element_type=jnp.float32)
+            got = _shear_rows_gather(img, offs)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-3)
+
+    def test_equalize_scatter_matches_onehot(self, monkeypatch):
+        import cnsn_tpu.data.augmix_jax as aj
+        rng = np.random.RandomState(1)
+        img = jnp.asarray(rng.randint(30, 200, (64, 64, 3)).astype(np.float32))
+        monkeypatch.setattr(aj, "_SHEAR_GATHER_MIN", 1)  # force scatter
+        big = aj._equalize(jax.random.key(0), img, 3.0)
+        monkeypatch.setattr(aj, "_SHEAR_GATHER_MIN", 10**9)  # force one-hot
+        small = aj._equalize(jax.random.key(0), img, 3.0)
+        np.testing.assert_allclose(np.asarray(big), np.asarray(small))
+
+    def test_augmix_batch_large_plane_smoke(self):
+        from cnsn_tpu.data.augmix_jax import augmix_batch
+        img = rand_img(0, hw=128)
+        views = augmix_batch(jax.random.key(1),
+                             jnp.asarray(img[None]), severity=1.0)
+        v = np.asarray(views)
+        assert v.shape == (3, 1, 128, 128, 3)
+        assert np.isfinite(v).all()

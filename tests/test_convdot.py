@@ -69,3 +69,34 @@ def test_conv3x3_model_gate(monkeypatch):
     assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
     np.testing.assert_allclose(np.asarray(m1.apply(p0, x)),
                                np.asarray(m0.apply(p0, x)), rtol=1e-6)
+
+
+def test_wgrad3x3_pallas_matches_autodiff():
+    """Implicit-GEMM Pallas wgrad (interpret mode on CPU) vs autodiff."""
+    from cnsn_tpu.ops.pallas.conv_wgrad import wgrad3x3_pallas
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(3, 10, 12, 8).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 8, 16).astype(np.float32))
+    dy_np = rng.randn(3, 10, 12, 16).astype(np.float32)
+
+    _, pullback = jax.vjp(lambda k_: _fwd_conv(x, k_, 1, 1), k)
+    dk_ref = pullback(jnp.asarray(dy_np))[0]
+    dk = wgrad3x3_pallas(x, jnp.asarray(dy_np), 1, interpret=True)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_conv_custom_bwd_pallas_mode_end_to_end():
+    """wgrad='pallas' through the custom_vjp (interpret on CPU)."""
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 4, 6).astype(np.float32))
+    ref = lambda x, k: _fwd_conv(x, k, 1, 1)
+    cus = lambda x, k: conv2d_custom_bwd(x, k, 1, 1, "pallas", "auto")
+    dx_r, dk_r = _loss_grads(ref, x, k)
+    dx_c, dk_c = _loss_grads(cus, x, k)
+    np.testing.assert_allclose(np.asarray(dk_c), np.asarray(dk_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dx_c), np.asarray(dx_r),
+                               rtol=1e-5, atol=1e-5)
