@@ -118,19 +118,30 @@ def _shear_rows_gather(img: jax.Array, offsets: jax.Array) -> jax.Array:
     return jnp.where(valid[..., None], v0 * (1.0 - f) + v1 * f, 0.0)
 
 
-# 'auto' = matmul shear below _SHEAR_GATHER_MIN pixels (MXU wins on
-# small planes, measured at 32²), gathers above (HBM wins at 224²).
-_SHEAR_IMPL = os.environ.get("CNSN_AUGMIX_SHEAR", "auto")
+# Default 'matmul' at EVERY size: the gather form was measured 30x
+# slower end-to-end at 224² on v5e (181 → 5.9 img/s on the IBN-b
+# AugMix recipe, perf/r3_zoo.jsonl) — TPU per-row gathers lose to even
+# a 45 MB interpolation-matrix matmul.  Kept selectable for future
+# hardware ('gather') and as the measured negative.  'bf16' keeps the
+# matmul but builds the interpolation matrix in bfloat16 — halves the
+# dominant HBM traffic; max pixel error ~1/255 (the uint8 rounding
+# scale), acceptable for a stochastic augmentation.
+_SHEAR_IMPL = os.environ.get("CNSN_AUGMIX_SHEAR", "matmul")
+# one-hot equalize crosses to scatter-hist + LUT-gather above this
+# (the (H,W,256) one-hot is 51 MB/channel at 224²)
 _SHEAR_GATHER_MIN = 96 * 96
 
 
 def _shear_rows(img: jax.Array, offsets: jax.Array) -> jax.Array:
     """Resample each row y at x + offsets[y] (bilinear, zero fill)."""
     h, w = img.shape[:2]
-    if _SHEAR_IMPL == "gather" or (_SHEAR_IMPL == "auto"
-                                   and h * w >= _SHEAR_GATHER_MIN):
+    if _SHEAR_IMPL == "gather":
         return _shear_rows_gather(img, offsets)
     m = _row_shear_matrix(h, w, offsets)
+    if _SHEAR_IMPL == "bf16":
+        return jnp.einsum("yxs,ysc->yxc", m.astype(jnp.bfloat16),
+                          img.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
     return jnp.einsum("yxs,ysc->yxc", m, img,
                       preferred_element_type=jnp.float32)
 
@@ -160,8 +171,12 @@ def _autocontrast(key, img, severity):
 
 def _equalize(key, img, severity):
     # large planes: the (H, W, 256) one-hot is 51 MB/channel at 224² —
-    # use a scatter-add histogram + 256-entry LUT gather instead
-    big = img.shape[0] * img.shape[1] >= _SHEAR_GATHER_MIN
+    # use a scatter-add histogram + 256-entry LUT gather instead.
+    # CNSN_AUGMIX_EQ: auto (size-based) | onehot | scatter.
+    eq = os.environ.get("CNSN_AUGMIX_EQ", "auto")
+    big = (eq == "scatter" or
+           (eq == "auto"
+            and img.shape[0] * img.shape[1] >= _SHEAR_GATHER_MIN))
 
     def lut_of(hist):
         # PIL equalize: step = (pixels - last_nonzero_count) // 255

@@ -313,9 +313,9 @@ class TestLargePlaneImpls:
         import cnsn_tpu.data.augmix_jax as aj
         rng = np.random.RandomState(1)
         img = jnp.asarray(rng.randint(30, 200, (64, 64, 3)).astype(np.float32))
-        monkeypatch.setattr(aj, "_SHEAR_GATHER_MIN", 1)  # force scatter
+        monkeypatch.setenv("CNSN_AUGMIX_EQ", "scatter")
         big = aj._equalize(jax.random.key(0), img, 3.0)
-        monkeypatch.setattr(aj, "_SHEAR_GATHER_MIN", 10**9)  # force one-hot
+        monkeypatch.setenv("CNSN_AUGMIX_EQ", "onehot")
         small = aj._equalize(jax.random.key(0), img, 3.0)
         np.testing.assert_allclose(np.asarray(big), np.asarray(small))
 
