@@ -127,9 +127,6 @@ def _shear_rows_gather(img: jax.Array, offsets: jax.Array) -> jax.Array:
 # dominant HBM traffic; max pixel error ~1/255 (the uint8 rounding
 # scale), acceptable for a stochastic augmentation.
 _SHEAR_IMPL = os.environ.get("CNSN_AUGMIX_SHEAR", "matmul")
-# one-hot equalize crosses to scatter-hist + LUT-gather above this
-# (the (H,W,256) one-hot is 51 MB/channel at 224²)
-_SHEAR_GATHER_MIN = 96 * 96
 
 
 def _shear_rows(img: jax.Array, offsets: jax.Array) -> jax.Array:
@@ -170,13 +167,12 @@ def _autocontrast(key, img, severity):
 
 
 def _equalize(key, img, severity):
-    # large planes: the (H, W, 256) one-hot is 51 MB/channel at 224² —
-    # use a scatter-add histogram + 256-entry LUT gather instead.
-    # CNSN_AUGMIX_EQ: auto (size-based) | onehot | scatter.
-    eq = os.environ.get("CNSN_AUGMIX_EQ", "auto")
-    big = (eq == "scatter" or
-           (eq == "auto"
-            and img.shape[0] * img.shape[1] >= _SHEAR_GATHER_MIN))
+    # The scatter-add histogram + LUT gather looked cheaper on paper
+    # (the (H, W, 256) one-hot is 51 MB/channel at 224²) but measured
+    # 7x SLOWER end-to-end on v5e (181 → 24 img/s, perf/r3_zoo.jsonl):
+    # TPU scatter/gather lose to one-hot matmuls at every size tried.
+    # Default stays 'onehot'; 'scatter' kept as the measured negative.
+    big = os.environ.get("CNSN_AUGMIX_EQ", "onehot") == "scatter"
 
     def lut_of(hist):
         # PIL equalize: step = (pixels - last_nonzero_count) // 255
