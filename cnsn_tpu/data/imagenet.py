@@ -86,9 +86,11 @@ class ImageNetLoader:
         # native C++ decode path (csrc/loader.cc) for pure-JPEG datasets
         # in train/eval modes; AugMix keeps PIL (needs the PIL op chain)
         self.use_native = False
-        if use_native and mode in ("train", "eval") and data.samples:
+        if (use_native and mode in ("train", "eval", "train_geom")
+                and data.samples):
             from . import native
             if (native.available()
+                    and (mode != "train_geom" or native.geom_available())
                     and all(p.lower().endswith((".jpg", ".jpeg"))
                             for p, _ in data.samples[:64])):
                 self.use_native = True
@@ -146,6 +148,10 @@ class ImageNetLoader:
                     batch = native.decode_eval_batch(
                         paths, 256, self.image_size, IMAGENET_MEAN,
                         IMAGENET_STD, threads=self.workers)
+                elif self.mode == "train_geom":
+                    seeds = rng.randint(1, 2**62, len(paths)).astype(np.uint64)
+                    batch = native.decode_geom_batch(
+                        paths, self.image_size, seeds, threads=self.workers)
                 else:
                     seeds = rng.randint(1, 2**62, len(paths)).astype(np.uint64)
                     batch = native.decode_train_batch(

@@ -13,7 +13,8 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-__all__ = ["available", "decode_eval_batch", "decode_train_batch"]
+__all__ = ["available", "decode_eval_batch", "decode_train_batch",
+           "decode_geom_batch"]
 
 _CSRC = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "csrc")
@@ -51,6 +52,12 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int]
+        if hasattr(lib, "cnsn_decode_geom_batch"):
+            lib.cnsn_decode_geom_batch.restype = ctypes.c_int
+            lib.cnsn_decode_geom_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -98,6 +105,28 @@ def decode_train_batch(paths: Sequence[str], size: int, mean: np.ndarray,
         _paths_array(paths), len(paths), size, _fptr(mean), _fptr(std),
         seeds.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), _fptr(out),
         threads)
+    if failures:
+        raise IOError(f"native loader failed on {failures} images")
+    return out
+
+
+def geom_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "cnsn_decode_geom_batch")
+
+
+def decode_geom_batch(paths: Sequence[str], size: int, seeds: np.ndarray,
+                      threads: int = 8) -> np.ndarray:
+    """RandomResizedCrop + flip only, raw (N, size, size, 3) uint8 —
+    the host side of the on-device AugMix pipeline."""
+    lib = _load()
+    assert lib is not None
+    out = np.empty((len(paths), size, size, 3), np.uint8)
+    seeds = np.ascontiguousarray(seeds, np.uint64)
+    failures = lib.cnsn_decode_geom_batch(
+        _paths_array(paths), len(paths), size,
+        seeds.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), threads)
     if failures:
         raise IOError(f"native loader failed on {failures} images")
     return out

@@ -195,8 +195,12 @@ int eval_one(const char* path, int resize_to, int crop, const float* mean,
   return 0;
 }
 
-int train_one(const char* path, int size, const float* mean,
-              const float* stdv, uint64_t seed, float* out) {
+// geometry stage only (RandomResizedCrop + flip), raw uint8 pixels —
+// feeds the on-device AugMix chain (cnsn_tpu/data/augmix_jax.py): the
+// host stays a pure decode/resample worker and the host->device copy
+// is 4x smaller than the normalized float path.
+int train_geom_one(const char* path, int size, uint64_t seed,
+                   uint8_t* out) {
   Image img;
   if (!decode_jpeg(path, &img)) return 1;
   XorShift64 rng(seed);
@@ -225,8 +229,14 @@ int train_one(const char* path, int size, const float* mean,
     }
   }
   bool hflip = rng.uniform() < 0.5f;
+  resize_bilinear(img, y0, x0, ch, cw, size, size, hflip, out);
+  return 0;
+}
+
+int train_one(const char* path, int size, const float* mean,
+              const float* stdv, uint64_t seed, float* out) {
   std::vector<uint8_t> resized((size_t)size * size * 3);
-  resize_bilinear(img, y0, x0, ch, cw, size, size, hflip, resized.data());
+  if (train_geom_one(path, size, seed, resized.data())) return 1;
   normalize_into(resized.data(), size * size, mean, stdv, out);
   return 0;
 }
@@ -255,6 +265,19 @@ int cnsn_decode_eval_batch(const char** paths, int n, int resize_to,
   parallel_for(n, threads, [&](int i) {
     if (eval_one(paths[i], resize_to, crop, mean, stdv,
                  out + (size_t)i * crop * crop * 3)) {
+      failures.fetch_add(1);
+    }
+  });
+  return failures.load();
+}
+
+int cnsn_decode_geom_batch(const char** paths, int n, int size,
+                           const uint64_t* seeds, uint8_t* out,
+                           int threads) {
+  std::atomic<int> failures(0);
+  parallel_for(n, threads, [&](int i) {
+    if (train_geom_one(paths[i], size, seeds[i],
+                       out + (size_t)i * size * size * 3)) {
       failures.fetch_add(1);
     }
   });

@@ -92,3 +92,46 @@ def test_native_not_slower_than_pil(jpeg_dir):
     t_native, t_pil = run(True), run(False)
     print(f"native {t_native:.3f}s vs PIL-threads {t_pil:.3f}s")
     assert t_native < t_pil * 1.2
+
+
+def test_native_geom_batch(tmp_path):
+    """uint8 geometry batch: native decode_geom_batch matches the
+    normalized train batch it feeds (same seeds => same crops/flips)."""
+    from cnsn_tpu.data import native
+    from cnsn_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+    if not (native.available() and native.geom_available()):
+        pytest.skip("native loader unavailable")
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(3):
+        arr = rng.randint(0, 255, (70, 90, 3)).astype(np.uint8)
+        p = tmp_path / f"im{i}.jpeg"
+        Image.fromarray(arr).save(p, quality=95)
+        paths.append(str(p))
+    seeds = np.asarray([11, 22, 33], np.uint64)
+    geom = native.decode_geom_batch(paths, 48, seeds, threads=2)
+    assert geom.shape == (3, 48, 48, 3) and geom.dtype == np.uint8
+    norm = native.decode_train_batch(paths, 48, IMAGENET_MEAN,
+                                     IMAGENET_STD, seeds, threads=2)
+    expect = (geom.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    np.testing.assert_allclose(norm, expect, atol=1e-5)
+
+
+def test_imagenet_loader_native_geom(tmp_path):
+    from cnsn_tpu.data import native
+    from cnsn_tpu.data.imagenet import ImageNetLoader, scan_image_folder
+    if not (native.available() and native.geom_available()):
+        pytest.skip("native loader unavailable")
+    rng = np.random.RandomState(1)
+    for ci, cls in enumerate(["a", "b"]):
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(2):
+            Image.fromarray(rng.randint(0, 255, (64, 64, 3)).astype(
+                np.uint8)).save(d / f"x{i}.jpeg")
+    data = scan_image_folder(str(tmp_path))
+    loader = ImageNetLoader(data, 2, mode="train_geom", image_size=32,
+                            workers=2)
+    assert loader.use_native
+    x, y = next(iter(loader))
+    assert x.shape == (2, 32, 32, 3) and x.dtype == np.uint8
