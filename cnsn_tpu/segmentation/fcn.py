@@ -75,7 +75,12 @@ class FCNCNSN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False,
                  cn_active: Optional[jax.Array] = None,
-                 img_cn_active: Optional[jax.Array] = None):
+                 img_cn_active: Optional[jax.Array] = None,
+                 upsample: bool = True):
+        """``upsample=False`` returns the raw OS8 head logits — the
+        step then fuses upsample+CE in a class-major layout
+        (segmentation/upsample.py) instead of materializing the
+        lane-padded (B, H, W, 19) tensor."""
         in_hw = x.shape[1:3]
         feats = seg_resnet50(
             block_idxs=self.block_idxs, pos=self.pos, cn_pos=self.cn_pos,
@@ -86,6 +91,9 @@ class FCNCNSN(nn.Module):
                       name="classifier")(feats["out"], train)
         aux = FCNHead(1024, self.classes, dtype=self.dtype,
                       name="aux_classifier")(feats["aux"], train)
+
+        if not upsample:
+            return out, aux
 
         def up(z):
             return jax.image.resize(

@@ -13,7 +13,9 @@ Parity with the reference trainer (segmentation/tool/train_cnsn.py):
 """
 from __future__ import annotations
 
-from typing import Any, Tuple
+import inspect
+import os
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -93,13 +95,22 @@ class SegStepFns:
 
     def __init__(self, model, *, num_classes: int, active_num: int = 1,
                  aux_weight: float = 0.4, ignore_label: int = 255,
-                 donate: bool = False):
+                 donate: bool = False, lowres_ce: Optional[bool] = None):
         self.model = model
         self.num_classes = num_classes
         self.active_num = active_num
         self.aux_weight = aux_weight
         self.ignore_label = ignore_label
         self.cn_num = model.cn_num
+        # class-major fused upsample+CE (segmentation/upsample.py):
+        # avoids the lane-padded full-res class-minor logits (43% of
+        # the 713² step, perf/r3_seg_trace.txt).  Only for models whose
+        # __call__ accepts upsample=; env default CNSN_SEG_CE.
+        if lowres_ce is None:
+            lowres_ce = (os.environ.get("CNSN_SEG_CE", "resize") == "matmul")
+        self.lowres_ce = bool(lowres_ce and hasattr(model, "apply")
+                              and "upsample" in inspect.signature(
+                                  type(model).__call__).parameters)
         dn = (0,) if donate else ()
         self.plain = jax.jit(self._make_step(False), donate_argnums=dn)
         self.aug = jax.jit(self._make_step(True), donate_argnums=dn)
@@ -123,21 +134,21 @@ class SegStepFns:
             def loss_fn(params):
                 variables = {"params": params,
                              "batch_stats": state.batch_stats}
+                kw = {"upsample": False} if self.lowres_ce else {}
                 (out, auxl), mut = self.model.apply(
                     variables, images, True, masks[0], masks[1],
                     rngs={"crossnorm": rng,
                           "dropout": jax.random.fold_in(rng, 11)},
-                    mutable=["batch_stats"])
-                main = masked_cross_entropy(out, labels, self.ignore_label)
-                aux_loss = masked_cross_entropy(auxl, labels,
-                                                self.ignore_label)
+                    mutable=["batch_stats"], **kw)
+                main = self._ce(out, labels)
+                aux_loss = self._ce(auxl, labels)
                 loss = main + self.aux_weight * aux_loss
                 return loss, (mut["batch_stats"], out, main, aux_loss)
 
             (loss, (stats, out, main, aux_loss)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
             state = state.apply_gradients(grads=grads, batch_stats=stats)
-            pred = jnp.argmax(out, axis=-1)
+            pred = self._pred(out, labels)
             inter, union, target = seg_metrics(pred, labels,
                                                self.num_classes,
                                                self.ignore_label)
@@ -147,12 +158,29 @@ class SegStepFns:
 
         return step
 
+    def _ce(self, logits, labels):
+        """Mean masked CE; class-major fused upsample+CE when the step
+        runs on low-res head logits."""
+        if self.lowres_ce:
+            from .upsample import upsample_nll_sum
+            s, n = upsample_nll_sum(logits, labels, self.ignore_label)
+            return s / jnp.maximum(n, 1)
+        return masked_cross_entropy(logits, labels, self.ignore_label)
+
+    def _pred(self, logits, labels):
+        if self.lowres_ce:
+            from .upsample import upsample_argmax
+            return upsample_argmax(logits, labels.shape[1], labels.shape[2])
+        return jnp.argmax(logits, axis=-1)
+
     def _eval(self, state, images, labels):
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
-        out, auxl = self.model.apply(variables, images, False, None, None)
-        loss = masked_cross_entropy(out, labels, self.ignore_label)
-        pred = jnp.argmax(out, axis=-1)
+        kw = {"upsample": False} if self.lowres_ce else {}
+        out, auxl = self.model.apply(variables, images, False, None, None,
+                                     **kw)
+        loss = self._ce(out, labels)
+        pred = self._pred(out, labels)
         inter, union, target = seg_metrics(pred, labels, self.num_classes,
                                            self.ignore_label)
         return {"loss": loss, "pred": pred, "intersection": inter,
@@ -167,15 +195,23 @@ class SegStepFns:
         segmentation/tool/train_cnsn.py:388-451)."""
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
-        out, _ = self.model.apply(variables, images, False, None, None)
-        valid = labels != self.ignore_label
-        safe = jnp.where(valid, labels, 0)
-        logp = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-        nll_sum = jnp.sum(jnp.where(valid, nll, 0.0))
-        pred = jnp.argmax(out, axis=-1)
+        kw = {"upsample": False} if self.lowres_ce else {}
+        out, _ = self.model.apply(variables, images, False, None, None, **kw)
+        if self.lowres_ce:
+            from .upsample import upsample_nll_sum
+            nll_sum, n_valid = upsample_nll_sum(out, labels,
+                                                self.ignore_label)
+        else:
+            valid = labels != self.ignore_label
+            safe = jnp.where(valid, labels, 0)
+            logp = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(logp, safe[..., None],
+                                       axis=-1)[..., 0]
+            nll_sum = jnp.sum(jnp.where(valid, nll, 0.0))
+            n_valid = jnp.sum(valid)
+        pred = self._pred(out, labels)
         inter, union, target = seg_metrics(pred, labels, self.num_classes,
                                            self.ignore_label)
         return {"nll_sum": nll_sum,
-                "valid_px": jnp.sum(valid).astype(jnp.float32),
+                "valid_px": n_valid.astype(jnp.float32),
                 "intersection": inter, "union": union, "target": target}

@@ -305,3 +305,73 @@ def test_seg_validate_shard_safe_odd_tail(tmp_path):
     assert abs(r8["mIoU"] - r1["mIoU"]) < 1e-6
     assert abs(r8["loss"] - r1["loss"]) < 1e-5
     np.testing.assert_allclose(r8["iou_class"], r1["iou_class"], atol=1e-6)
+
+
+class TestLowresCE:
+    """Class-major fused upsample+CE (segmentation/upsample.py) must
+    reproduce the resize+NHWC path exactly."""
+
+    def test_bilinear_matrix_matches_resize(self):
+        from cnsn_tpu.segmentation.upsample import bilinear_matrix
+        rng = np.random.RandomState(0)
+        # upscale only: resize antialiases on downscale (guarded)
+        for out_s, in_s in ((89, 12), (64, 9), (33, 33), (713, 90)):
+            x = rng.randn(2, in_s, in_s, 5).astype(np.float32)
+            ref = jax.image.resize(jnp.asarray(x), (2, out_s, out_s, 5),
+                                   "bilinear")
+            ah = jnp.asarray(bilinear_matrix(out_s, in_s))
+            got = jnp.einsum("Hh,bhwc->bHwc", ah, jnp.asarray(x))
+            got = jnp.einsum("Ww,bHwc->bHWc", ah, got)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-4)
+
+    def test_upsample_nll_and_pred_match_reference_path(self):
+        from cnsn_tpu.segmentation.train_seg import masked_cross_entropy
+        from cnsn_tpu.segmentation.upsample import (upsample_argmax,
+                                                    upsample_nll_sum)
+        rng = np.random.RandomState(1)
+        lr = jnp.asarray(rng.randn(2, 9, 11, 7).astype(np.float32))
+        labels = rng.randint(0, 7, (2, 41, 51)).astype(np.int32)
+        labels[0, :7] = 255  # ignore region
+        labels = jnp.asarray(labels)
+        hi = jax.image.resize(lr, (2, 41, 51, 7), "bilinear")
+        ref_loss = masked_cross_entropy(hi, labels, 255)
+        s, n = upsample_nll_sum(lr, labels, 255)
+        np.testing.assert_allclose(float(s / jnp.maximum(n, 1)),
+                                   float(ref_loss), rtol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(upsample_argmax(lr, 41, 51)),
+            np.asarray(jnp.argmax(hi, axis=-1)))
+
+    def test_step_modes_agree(self):
+        """One train step in each CE mode from identical state: same
+        loss/metrics, same parameter update."""
+        from cnsn_tpu.segmentation import (SegStepFns, SegTrainState,
+                                           fcn_cnsn, make_seg_optimizer)
+        model = fcn_cnsn(classes=5, block_idxs="1", pos="residual",
+                         cn_pos="post", cnsn_type="cnsn", crop="neither")
+        x = jnp.asarray(np.random.RandomState(2).randn(2, 33, 33, 3)
+                        .astype(np.float32))
+        yl = jnp.asarray(np.random.RandomState(3)
+                         .randint(0, 5, (2, 33, 33)).astype(np.int32))
+        rngs = {"params": jax.random.key(0), "crossnorm": jax.random.key(1),
+                "dropout": jax.random.key(2)}
+        v = model.init(rngs, x, False, None, None)
+        tx = make_seg_optimizer(v["params"], 0.01, 100)
+        state = SegTrainState.create(apply_fn=model.apply,
+                                     params=v["params"],
+                                     batch_stats=v["batch_stats"], tx=tx)
+        outs = {}
+        for mode in (False, True):
+            steps = SegStepFns(model, num_classes=5, lowres_ce=mode)
+            s2, m = steps.aug(state, x, yl, jax.random.key(7))
+            outs[mode] = (s2, m)
+        m0, m1 = outs[False][1], outs[True][1]
+        np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                                   rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(m0["intersection"]),
+                                      np.asarray(m1["intersection"]))
+        p0 = jax.tree.leaves(outs[False][0].params)[0]
+        p1 = jax.tree.leaves(outs[True][0].params)[0]
+        np.testing.assert_allclose(np.asarray(p0), np.asarray(p1),
+                                   rtol=1e-4, atol=1e-6)
