@@ -131,7 +131,17 @@ class SegResNet(nn.Module):
     beta: float = 1.0
     num_groups: int = 1
     dtype: Any = None
-    remat: bool = False
+    # True/False or a stage spec '1_2' — rematerialize bottlenecks of
+    # the listed stages only (selective remat: early stages carry the
+    # big 179²/90²×C activations; late stages are cheap to store but
+    # expensive to recompute)
+    remat: Any = False
+
+    @property
+    def remat_stages(self):
+        if isinstance(self.remat, str):
+            return {int(v) for v in self.remat.split("_") if v}
+        return {1, 2, 3, 4} if self.remat else set()
 
     @property
     def idxs(self):
@@ -165,8 +175,7 @@ class SegResNet(nn.Module):
         x = nn.relu(BatchNorm(64, name="bn1")(x, ura))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
-        block_cls = (nn.remat(SegBottleneck, static_argnums=(2,))
-                     if self.remat else SegBottleneck)
+        remat_cls = nn.remat(SegBottleneck, static_argnums=(2,))
         dilations = (1, 1, 2, 4)      # replace_stride_with_dilation=[F,T,T]
         strides = (1, 2, 1, 1)
         inplanes, site = 64, 0
@@ -188,7 +197,9 @@ class SegResNet(nn.Module):
                     if cn_active is not None:
                         active = cn_active[site]
                     site += 1
-                x = block_cls(
+                cls = (remat_cls if (s + 1) in self.remat_stages
+                       else SegBottleneck)
+                x = cls(
                     inplanes, planes, stride=blk_stride, dilation=dil,
                     has_downsample=has_ds, custom=custom, pos=self.pos,
                     cn_pos=self.cn_pos, cnsn_type=self.cnsn_type,

@@ -54,7 +54,7 @@ class FCNCNSN(nn.Module):
     beta: float = 1.0
     num_groups: int = 1
     dtype: Any = None
-    remat: bool = False
+    remat: Any = False  # bool or stage spec "1_2" (see SegResNet.remat)
 
     @property
     def backbone_def(self) -> SegResNet:

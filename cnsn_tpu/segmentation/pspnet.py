@@ -113,7 +113,7 @@ class PSPNet(nn.Module):
     beta: float = 1.0
     num_groups: int = 1
     dtype: Any = None
-    remat: bool = False
+    remat: Any = False  # bool or stage spec "1_2" (see SegResNet.remat)
 
     @property
     def cn_num(self) -> int:
@@ -125,10 +125,15 @@ class PSPNet(nn.Module):
         return seg_resnet50(block_idxs=self.block_idxs,
                             cnsn_type=self.cnsn_type).has_img_cn
 
+    # heads upsample with torch align_corners=True semantics — tells
+    # SegStepFns which fused interpolation matrix to use (upsample.py)
+    UPSAMPLE_ALIGN_CORNERS = True
+
     @nn.compact
     def __call__(self, x, train: bool = False,
                  cn_active: Optional[jax.Array] = None,
-                 img_cn_active: Optional[jax.Array] = None):
+                 img_cn_active: Optional[jax.Array] = None,
+                 upsample: bool = True):
         h = (x.shape[1] - 1) // 8 * self.zoom_factor + 1
         w = (x.shape[2] - 1) // 8 * self.zoom_factor + 1
         feats = seg_resnet50(
@@ -145,7 +150,7 @@ class PSPNet(nn.Module):
                        name="cls")(z, train)
         aux = _ClsHead(256, self.classes, self.dropout, dtype=self.dtype,
                        name="aux")(feats["aux"], train)
-        if self.zoom_factor != 1:
+        if upsample and self.zoom_factor != 1:
             out = _resize_align_corners(out.astype(jnp.float32), (h, w))
             aux = _resize_align_corners(aux.astype(jnp.float32), (h, w))
         return out.astype(jnp.float32), aux.astype(jnp.float32)
@@ -308,7 +313,7 @@ class PSANet(nn.Module):
     beta: float = 1.0
     num_groups: int = 1
     dtype: Any = None
-    remat: bool = False
+    remat: Any = False  # bool or stage spec "1_2" (see SegResNet.remat)
 
     @property
     def cn_num(self) -> int:
@@ -320,10 +325,13 @@ class PSANet(nn.Module):
         return seg_resnet50(block_idxs=self.block_idxs,
                             cnsn_type=self.cnsn_type).has_img_cn
 
+    UPSAMPLE_ALIGN_CORNERS = True
+
     @nn.compact
     def __call__(self, x, train: bool = False,
                  cn_active: Optional[jax.Array] = None,
-                 img_cn_active: Optional[jax.Array] = None):
+                 img_cn_active: Optional[jax.Array] = None,
+                 upsample: bool = True):
         h = (x.shape[1] - 1) // 8 * self.zoom_factor + 1
         w = (x.shape[2] - 1) // 8 * self.zoom_factor + 1
         feats = seg_resnet50(
@@ -341,7 +349,7 @@ class PSANet(nn.Module):
                        name="cls")(z, train)
         aux = _ClsHead(256, self.classes, self.dropout, dtype=self.dtype,
                        name="aux")(feats["aux"], train)
-        if self.zoom_factor != 1:
+        if upsample and self.zoom_factor != 1:
             out = _resize_align_corners(out.astype(jnp.float32), (h, w))
             aux = _resize_align_corners(aux.astype(jnp.float32), (h, w))
         return out.astype(jnp.float32), aux.astype(jnp.float32)
@@ -365,7 +373,7 @@ class PSALite(nn.Module):
     beta: float = 1.0
     num_groups: int = 1
     dtype: Any = None
-    remat: bool = False
+    remat: Any = False  # bool or stage spec "1_2" (see SegResNet.remat)
 
     @property
     def cn_num(self) -> int:
@@ -377,10 +385,13 @@ class PSALite(nn.Module):
         return seg_resnet50(block_idxs=self.block_idxs,
                             cnsn_type=self.cnsn_type).has_img_cn
 
+    UPSAMPLE_ALIGN_CORNERS = True
+
     @nn.compact
     def __call__(self, x, train: bool = False,
                  cn_active: Optional[jax.Array] = None,
-                 img_cn_active: Optional[jax.Array] = None):
+                 img_cn_active: Optional[jax.Array] = None,
+                 upsample: bool = True):
         h = (x.shape[1] - 1) // 8 * self.zoom_factor + 1
         w = (x.shape[2] - 1) // 8 * self.zoom_factor + 1
         feats = seg_resnet50(
@@ -410,7 +421,7 @@ class PSALite(nn.Module):
                        name="cls")(z, train)
         aux = _ClsHead(256, self.classes, self.dropout, dtype=self.dtype,
                        name="aux")(feats["aux"], train)
-        if self.zoom_factor != 1:
+        if upsample and self.zoom_factor != 1:
             out = _resize_align_corners(out.astype(jnp.float32), (h, w))
             aux = _resize_align_corners(aux.astype(jnp.float32), (h, w))
         return out.astype(jnp.float32), aux.astype(jnp.float32)

@@ -104,13 +104,20 @@ class SegStepFns:
         self.cn_num = model.cn_num
         # class-major fused upsample+CE (segmentation/upsample.py):
         # avoids the lane-padded full-res class-minor logits (43% of
-        # the 713² step, perf/r3_seg_trace.txt).  Only for models whose
-        # __call__ accepts upsample=; env default CNSN_SEG_CE.
+        # the 713² step, perf/r3_seg_trace.txt).  Default ON — measured
+        # 23.15 → 41.1 img/s (+78%) at the gtav recipe shape
+        # (perf/r3_seg_ce.jsonl); CNSN_SEG_CE=resize restores the
+        # jax.image.resize NHWC path.  Only for models whose __call__
+        # accepts upsample=.
         if lowres_ce is None:
-            lowres_ce = (os.environ.get("CNSN_SEG_CE", "resize") == "matmul")
+            lowres_ce = (os.environ.get("CNSN_SEG_CE", "matmul") == "matmul")
         self.lowres_ce = bool(lowres_ce and hasattr(model, "apply")
                               and "upsample" in inspect.signature(
                                   type(model).__call__).parameters)
+        # FCN resizes half-pixel (jax.image.resize); PSP/PSA heads use
+        # torch align_corners=True — the fused matrices must match
+        self.align_corners = bool(getattr(model, "UPSAMPLE_ALIGN_CORNERS",
+                                          False))
         dn = (0,) if donate else ()
         self.plain = jax.jit(self._make_step(False), donate_argnums=dn)
         self.aug = jax.jit(self._make_step(True), donate_argnums=dn)
@@ -163,14 +170,16 @@ class SegStepFns:
         runs on low-res head logits."""
         if self.lowres_ce:
             from .upsample import upsample_nll_sum
-            s, n = upsample_nll_sum(logits, labels, self.ignore_label)
+            s, n = upsample_nll_sum(logits, labels, self.ignore_label,
+                                    self.align_corners)
             return s / jnp.maximum(n, 1)
         return masked_cross_entropy(logits, labels, self.ignore_label)
 
     def _pred(self, logits, labels):
         if self.lowres_ce:
             from .upsample import upsample_argmax
-            return upsample_argmax(logits, labels.shape[1], labels.shape[2])
+            return upsample_argmax(logits, labels.shape[1],
+                                   labels.shape[2], self.align_corners)
         return jnp.argmax(logits, axis=-1)
 
     def _eval(self, state, images, labels):
@@ -200,7 +209,8 @@ class SegStepFns:
         if self.lowres_ce:
             from .upsample import upsample_nll_sum
             nll_sum, n_valid = upsample_nll_sum(out, labels,
-                                                self.ignore_label)
+                                                self.ignore_label,
+                                                self.align_corners)
         else:
             valid = labels != self.ignore_label
             safe = jnp.where(valid, labels, 0)

@@ -13,7 +13,7 @@ from __future__ import annotations
 import os
 import time
 from dataclasses import dataclass
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -69,6 +69,11 @@ class SegConfig:
     mask_w: int = 0
     normalization_factor: float = 1.0
     psa_softmax: bool = True
+    # compute: bf16 + per-bottleneck remat is what fits the 713²/b16
+    # recipe shape in one chip's HBM (bench_zoo.py seg_train); remat
+    # also takes a stage spec '1_2' (SegResNet.remat)
+    compute_dtype: Optional[str] = None   # e.g. 'bfloat16'; None = fp32
+    remat: Any = False
     # infra
     seed: int = 1
     print_freq: int = 10
@@ -89,13 +94,16 @@ class SegConfig:
 
 
 def build_seg_model(cfg: SegConfig, num_groups: int = 1):
+    dtype = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None
     kw = dict(classes=cfg.classes, block_idxs=cfg.block_idxs, pos=cfg.pos,
               cn_pos=cfg.cn_pos, cnsn_type=cfg.cnsn_type, crop=cfg.crop,
-              beta=cfg.beta, num_groups=num_groups)
+              beta=cfg.beta, num_groups=num_groups, dtype=dtype,
+              remat=cfg.remat)
     if cfg.arch == "fcn_cnsn":
         return fcn_cnsn(**kw)
     if cfg.arch == "fcn":
-        return fcn_baseline(classes=cfg.classes, num_groups=num_groups)
+        return fcn_baseline(classes=cfg.classes, num_groups=num_groups,
+                            dtype=dtype, remat=cfg.remat)
     if cfg.arch == "psp":
         return PSPNet(**kw)
     if cfg.arch == "psa":

@@ -375,3 +375,95 @@ class TestLowresCE:
         p1 = jax.tree.leaves(outs[True][0].params)[0]
         np.testing.assert_allclose(np.asarray(p0), np.asarray(p1),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_selective_remat_stage_spec():
+    """remat='1_2' / '3_4' (stage-selective rematerialization,
+    backbone.py:SegResNet.remat) must not change the computed function
+    — same init, same forward, same gradient as remat=False."""
+    from cnsn_tpu.segmentation import fcn_cnsn
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 33, 33, 3)
+                    .astype(np.float32))
+    rngs = {"params": jax.random.key(0), "crossnorm": jax.random.key(1),
+            "dropout": jax.random.key(2)}
+    ref_model = fcn_cnsn(classes=5, block_idxs="1", pos="residual",
+                         cn_pos="post", cnsn_type="cnsn", crop="neither",
+                         remat=False)
+    v = ref_model.init(rngs, x, False, None, None)
+
+    def loss(model, params):
+        out, aux = model.apply({"params": params,
+                                "batch_stats": v["batch_stats"]},
+                               x, False, None, None)
+        return jnp.sum(out ** 2)
+
+    ref_l, ref_g = jax.value_and_grad(lambda p: loss(ref_model, p))(
+        v["params"])
+    for spec in (True, "1_2", "3_4", "2"):
+        m = fcn_cnsn(classes=5, block_idxs="1", pos="residual",
+                     cn_pos="post", cnsn_type="cnsn", crop="neither",
+                     remat=spec)
+        l, g = jax.value_and_grad(lambda p: loss(m, p))(v["params"])
+        np.testing.assert_allclose(float(l), float(ref_l), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(ref_g), jax.tree.leaves(g)):
+            a, b = np.asarray(a), np.asarray(b)
+            # remat recompute reassociates fp32 — compare at a
+            # tolerance scaled to the leaf's magnitude
+            np.testing.assert_allclose(a, b, rtol=1e-3,
+                                       atol=1e-4 * max(np.abs(b).max(), 1.0))
+
+
+class TestLowresCEAlignCorners:
+    """PSP/PSA heads upsample with align_corners=True — the fused
+    class-major path must match that variant exactly."""
+
+    def test_matrix_matches_resize_align_corners(self):
+        from cnsn_tpu.segmentation.pspnet import _resize_align_corners
+        from cnsn_tpu.segmentation.upsample import bilinear_matrix
+        rng = np.random.RandomState(0)
+        for out_s, in_s in ((89, 12), (33, 33), (713, 90), (9, 1)):
+            x = rng.randn(2, in_s, in_s, 5).astype(np.float32)
+            ref = _resize_align_corners(jnp.asarray(x), (out_s, out_s))
+            ah = jnp.asarray(bilinear_matrix(out_s, in_s,
+                                             align_corners=True))
+            got = jnp.einsum("Hh,bhwc->bHwc", ah, jnp.asarray(x))
+            got = jnp.einsum("Ww,bHwc->bHWc", ah, got)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-4)
+
+    def test_psp_step_modes_agree(self):
+        from cnsn_tpu.segmentation import (SegStepFns, SegTrainState,
+                                           make_seg_optimizer)
+        from cnsn_tpu.segmentation.pspnet import PSPNet
+        model = PSPNet(classes=5, block_idxs="1", pos="residual",
+                       cn_pos="post", cnsn_type="cnsn", crop="neither")
+        x = jnp.asarray(np.random.RandomState(2).randn(2, 33, 33, 3)
+                        .astype(np.float32))
+        yl = jnp.asarray(np.random.RandomState(3)
+                         .randint(0, 5, (2, 33, 33)).astype(np.int32))
+        rngs = {"params": jax.random.key(0), "crossnorm": jax.random.key(1),
+                "dropout": jax.random.key(2)}
+        v = model.init(rngs, x, False, None, None)
+        tx = make_seg_optimizer(v["params"], 0.01, 100)
+        state = SegTrainState.create(apply_fn=model.apply,
+                                     params=v["params"],
+                                     batch_stats=v["batch_stats"], tx=tx)
+        outs = {}
+        for mode in (False, True):
+            steps = SegStepFns(model, num_classes=5, lowres_ce=mode)
+            assert steps.align_corners
+            s2, m = steps.aug(state, x, yl, jax.random.key(7))
+            outs[mode] = (s2, m)
+        m0, m1 = outs[False][1], outs[True][1]
+        np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                                   rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(m0["intersection"]),
+                                      np.asarray(m1["intersection"]))
+        e0 = SegStepFns(model, num_classes=5, lowres_ce=False).eval_sum(
+            outs[False][0], x, yl)
+        e1 = SegStepFns(model, num_classes=5, lowres_ce=True).eval_sum(
+            outs[True][0], x, yl)
+        np.testing.assert_allclose(float(e0["nll_sum"]), float(e1["nll_sum"]),
+                                   rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(e0["intersection"]),
+                                      np.asarray(e1["intersection"]))
