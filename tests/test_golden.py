@@ -189,3 +189,75 @@ def test_golden_resnet50_flagship():
     f = build_model("resnet50", num_classes=1000, pos="post",
                     beta=1.0, crop="neither", cnsn_type="sn")
     _import_and_compare(t, f, _x((2, 64, 64, 3)), train_loss=True)
+
+
+def test_golden_seg_fcn_cnsn():
+    """Full FCN-CNSN segmentation golden parity vs the reference trunk
+    (segmentation/model/cnsn_resnet.py:resnet50, OS8 dilation) with the
+    torchvision FCNHead replicated inline (the reference wrapper,
+    segmentation/model/fcn.py:82-126, imports torchvision which is not
+    installed here — the head is just conv3x3/BN/ReLU/Dropout/conv1x1).
+    Eval logits at input resolution must match ≤1e-3."""
+    seg_ref = os.path.join(REFERENCE, "segmentation")
+    if seg_ref not in sys.path:
+        sys.path.insert(0, seg_ref)
+    import model.cnsn_resnet as cnsn_resnet
+
+    trunk = _quiet(cnsn_resnet.resnet50, pretrained=False, SN=True,
+                   replace_stride_with_dilation=[False, True, True],
+                   pos="residual", cn_pos="post", beta=1.0,
+                   block_idxs="1_2_3_4", crop="neither",
+                   cnsn_type="cnsn", active_num=1)
+
+    def head(cin, classes):
+        torch.manual_seed(cin)
+        return torch.nn.Sequential(
+            torch.nn.Conv2d(cin, cin // 4, 3, padding=1, bias=False),
+            torch.nn.BatchNorm2d(cin // 4),
+            torch.nn.ReLU(),
+            torch.nn.Dropout(0.1),
+            torch.nn.Conv2d(cin // 4, classes, 1))
+
+    t_cls, t_aux = head(2048, 19), head(1024, 19)
+    for m in (trunk, t_cls, t_aux):
+        m.eval()
+        _randomize_running_stats(m)
+
+    from cnsn_tpu.segmentation import fcn_cnsn
+    f = fcn_cnsn(classes=19, block_idxs="1_2_3_4", pos="residual",
+                 cn_pos="post", cnsn_type="cnsn", crop="neither")
+    x = _x((2, 65, 65, 3))
+    variables = f.init({"params": jax.random.key(0)}, jnp.asarray(x),
+                       False, None, None)
+    params = dict(variables["params"])
+    stats = dict(variables["batch_stats"])
+    sd = {k: v for k, v in trunk.state_dict().items()
+          if not k.startswith("fc.")}
+    params, stats, missing = convert_state_dict(
+        sd, params, stats, strict=True, prefix=("backbone",))
+    assert not missing, missing
+    head_map = {"0": "conv1", "1": "bn1", "4": "conv2"}
+    for tm, name in ((t_cls, "classifier"), (t_aux, "aux_classifier")):
+        params, stats, missing = convert_state_dict(
+            tm.state_dict(), params, stats, strict=True,
+            prefix=(name,), key_map=head_map)
+        assert not missing, missing
+
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        feats = trunk(xt)
+        t_out = torch.nn.functional.interpolate(
+            t_cls(feats["out"]), size=(65, 65), mode="bilinear",
+            align_corners=False).numpy()
+        t_auxl = torch.nn.functional.interpolate(
+            t_aux(feats["aux"]), size=(65, 65), mode="bilinear",
+            align_corners=False).numpy()
+
+    f_out, f_aux = f.apply({"params": params, "batch_stats": stats},
+                           jnp.asarray(x), False, None, None)
+    np.testing.assert_allclose(
+        t_out.transpose(0, 2, 3, 1), np.asarray(f_out), rtol=1e-3,
+        atol=1e-3)
+    np.testing.assert_allclose(
+        t_auxl.transpose(0, 2, 3, 1), np.asarray(f_aux), rtol=1e-3,
+        atol=1e-3)
