@@ -157,13 +157,18 @@ def ibn_augmix_ondevice():
 
 
 def seg_train():
-    """FCN-CNSN train step (bf16, remat); SEG_SIZE/SEG_BATCH env
-    — the shipped gtav recipe shape is 713x713, batch 16."""
+    """FCN-CNSN train step (bf16); SEG_SIZE/SEG_BATCH env — the shipped
+    gtav recipe shape is 713x713, batch 16.  No remat by default: with
+    the fused class-major CE the step fits HBM un-rematerialized and
+    that measures fastest (48.79 vs 48.5 remat='1_2' vs 41.04
+    remat-all, perf/r3_seg_remat.jsonl); SEG_REMAT=1|1_2|... opts in."""
     from cnsn_tpu.segmentation import (SegStepFns, SegTrainState, fcn_cnsn,
                                        make_seg_optimizer)
+    rm = os.environ.get("SEG_REMAT", "0")
+    remat = False if rm == "0" else (True if rm == "1" else rm)
     model = fcn_cnsn(classes=19, block_idxs="1_2_3_4", pos="residual",
                      cn_pos="post", cnsn_type="cnsn", crop="style",
-                     beta=1.0, dtype=jnp.bfloat16, remat=True)
+                     beta=1.0, dtype=jnp.bfloat16, remat=remat)
     b = int(os.environ.get("SEG_BATCH", "8"))
     hw = int(os.environ.get("SEG_SIZE", "513"))  # gtav recipe: 713, b16
     x = jnp.zeros((b, hw, hw, 3), jnp.float32)
