@@ -27,6 +27,7 @@ __all__ = ["FCNHead", "FCNCNSN", "fcn_cnsn", "fcn_baseline"]
 class FCNHead(nn.Module):
     in_channels: int
     classes: int
+    dropout: float = 0.1   # torchvision FCNHead fixes 0.1
     dtype: Any = None
 
     @nn.compact
@@ -36,7 +37,7 @@ class FCNHead(nn.Module):
                     kernel_init=he_fanout_normal, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv1")(x)
         x = nn.relu(BatchNorm(inter, name="bn1")(x, not train))
-        x = nn.Dropout(0.1, deterministic=not train)(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return nn.Conv(self.classes, (1, 1), dtype=self.dtype,
                        param_dtype=jnp.float32, name="conv2")(x)
 
@@ -53,6 +54,7 @@ class FCNCNSN(nn.Module):
     crop: str = "style"
     beta: float = 1.0
     num_groups: int = 1
+    dropout: float = 0.1
     dtype: Any = None
     remat: Any = False  # bool or stage spec "1_2" (see SegResNet.remat)
 
@@ -87,9 +89,9 @@ class FCNCNSN(nn.Module):
             cnsn_type=self.cnsn_type, crop=self.crop, beta=self.beta,
             num_groups=self.num_groups, dtype=self.dtype, remat=self.remat,
             name="backbone")(x, train, cn_active, img_cn_active)
-        out = FCNHead(2048, self.classes, dtype=self.dtype,
+        out = FCNHead(2048, self.classes, self.dropout, dtype=self.dtype,
                       name="classifier")(feats["out"], train)
-        aux = FCNHead(1024, self.classes, dtype=self.dtype,
+        aux = FCNHead(1024, self.classes, self.dropout, dtype=self.dtype,
                       name="aux_classifier")(feats["aux"], train)
 
         if not upsample:

@@ -50,8 +50,13 @@ def imagenet_step_lr(base_lr: float, epochs: int, batch_size: int,
 
 
 def poly_lr(base_lr: float, max_iter: int, power: float = 0.9):
+    """Per-iteration poly decay (segmentation/util/util.py:102-105).
+
+    The reference evaluates it at ``current_iter = ... + i + 1``
+    (train_cnsn.py:344-345) — 1-based — while optax's schedule step is
+    0-based at the first update, hence the +1."""
     def schedule(step):
-        return base_lr * (1.0 - _stepf(step) / max_iter) ** power
+        return base_lr * (1.0 - (_stepf(step) + 1.0) / max_iter) ** power
 
     return schedule
 

@@ -78,11 +78,21 @@ def test_golden_trajectory_resnet50_flagship():
     _assert_tracks(_run_lockstep("resnet50"))
 
 
+def test_golden_trajectory_segmentation():
+    """Seg training dynamics vs torch: SGD momentum 0.9 + coupled wd
+    (NO nesterov), per-iteration 1-based poly LR with 10x head groups
+    (train_cnsn.py:326-349, util.py:102-105), BN running stats, dual
+    FCN heads with aux_weight 0.4, ignore-masked CE."""
+    _assert_tracks(_run_lockstep("segmentation"))
+
+
 # ---------------------------------------------------------------------------
 # subprocess driver
 # ---------------------------------------------------------------------------
 
 def _driver(which):
+    if which == "segmentation":
+        return _driver_seg()
     import contextlib
     import io
     import types
@@ -164,6 +174,141 @@ def _driver(which):
         loss.backward()
         opt.step()
         sched.step()
+        t_losses.append(loss.item())
+
+    print(json.dumps({"torch": t_losses, "jax": f_losses}))
+
+
+def _driver_seg():
+    """f64 lockstep for the segmentation world (reference
+    segmentation/tool/train_cnsn.py:300-380): dilated SN trunk + dual
+    FCN heads (dropout 0 for determinism), loss = CE + 0.4*CE_aux with
+    ignore_index 255, SGD(momentum=0.9, wd=1e-4) with 1-based poly LR
+    and 10x head groups."""
+    import contextlib
+    import io
+
+    import torch
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import optax
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seg_ref = os.path.join(REFERENCE, "segmentation")
+    for p in (repo, seg_ref):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    from cnsn_tpu.segmentation import fcn_cnsn, make_seg_optimizer
+    from cnsn_tpu.utils.torch_import import convert_state_dict
+
+    steps_n, batch, size, classes = 3, 4, 65, 19
+    base_lr, wd, max_iter, aux_w = 0.01, 1e-4, 20, 0.4
+
+    torch.manual_seed(0)
+    with contextlib.redirect_stdout(io.StringIO()):
+        import model.cnsn_resnet as cnsn_resnet
+        trunk = cnsn_resnet.resnet50(
+            pretrained=False, SN=True,
+            replace_stride_with_dilation=[False, True, True],
+            pos="residual", cn_pos=None, beta=1.0, block_idxs="1_2_3_4",
+            crop="neither", cnsn_type="sn", active_num=1)
+
+    def head(cin):
+        torch.manual_seed(cin)
+        return torch.nn.Sequential(
+            torch.nn.Conv2d(cin, cin // 4, 3, padding=1, bias=False),
+            torch.nn.BatchNorm2d(cin // 4),
+            torch.nn.ReLU(),
+            torch.nn.Dropout(0.0),
+            torch.nn.Conv2d(cin // 4, classes, 1))
+
+    t_cls, t_aux = head(2048), head(1024)
+    for m in (trunk, t_cls, t_aux):
+        m.double().train()
+
+    f = fcn_cnsn(classes=classes, block_idxs="1_2_3_4", pos="residual",
+                 cn_pos=None, cnsn_type="sn", crop="neither", dropout=0.0)
+
+    rng = np.random.RandomState(5)
+    batches = []
+    for _ in range(steps_n):
+        x = rng.randn(batch, size, size, 3)
+        y = rng.randint(0, classes, (batch, size, size)).astype(np.int64)
+        y[:, :7] = 255  # ignore band
+        batches.append((x, y))
+
+    # ----- jax side (import torch init before the torch loop mutates it)
+    x0 = jnp.asarray(batches[0][0])
+    variables = f.init({"params": jax.random.key(0)}, x0, False, None, None)
+    params = dict(variables["params"])
+    stats = dict(variables["batch_stats"])
+    sd = {k: v for k, v in trunk.state_dict().items()
+          if not k.startswith("fc.")}
+    params, stats, missing = convert_state_dict(
+        sd, params, stats, strict=True, prefix=("backbone",))
+    assert not missing, missing
+    head_map = {"0": "conv1", "1": "bn1", "4": "conv2"}
+    for tm, name in ((t_cls, "classifier"), (t_aux, "aux_classifier")):
+        params, stats, missing = convert_state_dict(
+            tm.state_dict(), params, stats, strict=True,
+            prefix=(name,), key_map=head_map)
+        assert not missing, missing
+    as64 = lambda tree: jax.tree.map(
+        lambda a: jnp.asarray(np.asarray(a), jnp.float64), tree)
+    params, stats = as64(params), as64(stats)
+
+    tx = make_seg_optimizer(params, base_lr, max_iter, 0.9, 0.9, wd)
+    opt_state = tx.init(params)
+
+    def ce(logits_lr, y):
+        out = jax.image.resize(
+            logits_lr, (batch, size, size, classes), "bilinear")
+        valid = y != 255
+        safe = jnp.where(valid, y, 0)
+        logp = jax.nn.log_softmax(out, axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        return jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.sum(valid)
+
+    def loss_fn(params, stats, x, y):
+        (out, aux), mut = f.apply(
+            {"params": params, "batch_stats": stats}, x, True, None, None,
+            rngs={"dropout": jax.random.key(0)},
+            mutable=["batch_stats"], upsample=False)
+        return ce(out, y) + aux_w * ce(aux, y), mut["batch_stats"]
+
+    f_losses = []
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+    for x, y in batches:
+        (loss, stats), grads = grad_fn(params, stats,
+                                       jnp.asarray(x), jnp.asarray(y))
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        f_losses.append(float(loss))
+
+    # ----- torch side (reference loop)
+    heads_params = list(t_cls.parameters()) + list(t_aux.parameters())
+    opt = torch.optim.SGD(
+        [{"params": list(trunk.parameters())},
+         {"params": heads_params}],
+        lr=base_lr, momentum=0.9, weight_decay=wd)
+    t_losses = []
+    for i, (x, y) in enumerate(batches):
+        lr_i = base_lr * (1 - float(i + 1) / max_iter) ** 0.9
+        opt.param_groups[0]["lr"] = lr_i
+        opt.param_groups[1]["lr"] = lr_i * 10.0
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        yt = torch.from_numpy(y)
+        feats = trunk(xt)
+        up = lambda z: torch.nn.functional.interpolate(
+            z, size=(size, size), mode="bilinear", align_corners=False)
+        loss = (torch.nn.functional.cross_entropy(
+                    up(t_cls(feats["out"])), yt, ignore_index=255)
+                + aux_w * torch.nn.functional.cross_entropy(
+                    up(t_aux(feats["aux"])), yt, ignore_index=255))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
         t_losses.append(loss.item())
 
     print(json.dumps({"torch": t_losses, "jax": f_losses}))

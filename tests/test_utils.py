@@ -64,10 +64,13 @@ def test_schedule_shapes():
     # m = 1 / 0.1 / 0.01), epochs past 3k do NOT decay further
     np.testing.assert_allclose(float(s(89 * 10)), 0.001 * 2.0, rtol=1e-6)
     np.testing.assert_allclose(float(s(95 * 10)), 0.001 * 2.0, rtol=1e-6)
-    # poly
+    # poly — reference is 1-based (train_cnsn.py:344: current_iter =
+    # epoch*len + i + 1), so the first update already decays one tick
     p = poly_lr(0.01, 100)
-    np.testing.assert_allclose(float(p(0)), 0.01)
-    assert float(p(99)) < 0.001
+    np.testing.assert_allclose(float(p(0)), 0.01 * (1 - 1 / 100) ** 0.9)
+    np.testing.assert_allclose(float(p(98)), 0.01 * (1 - 99 / 100) ** 0.9,
+                               rtol=1e-6)
+    assert float(p(99)) == 0.0
     # seg step
     st = step_lr(0.1, 25, 100)
     np.testing.assert_allclose(float(st(2499 * 100 // 100)), 0.1 * 0.1 ** (24 // 25))
