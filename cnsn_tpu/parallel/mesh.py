@@ -43,9 +43,20 @@ class DataParallel:
     shardings and emits psum for the replicated-output gradients.
     """
 
-    def __init__(self, mesh: Mesh, data_axis: str = "data"):
+    def __init__(self, mesh: Mesh, data_axis: str = "data",
+                 spatial_axis: Optional[str] = None):
         self.mesh = mesh
         self.data_axis = data_axis
+        # Optional spatial partitioning (SPMD "sp"): also shard the H
+        # axis of (B, H, W, C) images / (B, H, W) labels over a second
+        # mesh axis.  GSPMD inserts conv halo exchanges and widens the
+        # BN/instance-stat reductions across the spatial shards, so the
+        # math is identical to the unsharded step (tested:
+        # tests/test_parallel.py::test_seg_spatial_partitioning).  This
+        # is how resolutions that exceed one chip's HBM (e.g. the 713²
+        # GTAV recipe at large batch) train without host-side tiling —
+        # no reference counterpart (torch DataParallel only splits B).
+        self.spatial_axis = spatial_axis
         self.replicated = NamedSharding(mesh, P())
 
     @property
@@ -57,9 +68,19 @@ class DataParallel:
 
     def shard_batch(self, array, axis: int = 0):
         """Shard one array along ``axis`` (0 for (B,...) batches, 1 for
-        the (3, B, ...) stacked AugMix views)."""
+        the (3, B, ...) stacked AugMix views).  With ``spatial_axis``
+        set, spatial arrays (ndim ≥ 3) are additionally sharded along
+        their H axis (``axis + 1``) — skipped (H replicated over the
+        spatial axis) when H is not divisible by the spatial mesh
+        width, e.g. the 8n+1 crop sizes seg recipes use (713) or
+        odd-sized val images; GSPMD still reshards internally as the
+        step's constraint shardings demand."""
         spec = [None] * array.ndim
         spec[axis] = self.data_axis
+        if (self.spatial_axis is not None and array.ndim >= axis + 3
+                and array.shape[axis + 1]
+                    % self.mesh.shape[self.spatial_axis] == 0):
+            spec[axis + 1] = self.spatial_axis
         return jax.device_put(array, NamedSharding(self.mesh, P(*spec)))
 
     def shard_inputs(self, images, labels):

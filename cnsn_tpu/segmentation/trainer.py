@@ -89,6 +89,12 @@ class SegConfig:
     start_epoch: int = 0
     weight: Optional[str] = None          # init-only checkpoint (params)
     num_devices: Optional[int] = None
+    # Spatial partitioning: shard the image H axis over this many mesh
+    # devices (num_devices must be divisible).  GSPMD inserts the conv
+    # halo exchanges / stat reductions; step math is identical to pure
+    # data parallelism (tests/test_parallel.py).  Use when one chip's
+    # HBM cannot hold the per-device sub-batch at full resolution.
+    spatial: int = 1
     mean: tuple = (0.485 * 255, 0.456 * 255, 0.406 * 255)
     std: tuple = (0.229 * 255, 0.224 * 255, 0.225 * 255)
 
@@ -143,8 +149,18 @@ class SegTrainer:
                  cross_domain_dataset=None):
         self.cfg = cfg
         np.random.seed(cfg.seed)
-        self.mesh = make_mesh(cfg.num_devices)
-        self.dp = DataParallel(self.mesh)
+        sp = max(1, int(getattr(cfg, "spatial", 1) or 1))
+        if sp > 1:
+            nd = cfg.num_devices or len(jax.devices())
+            if nd % sp:
+                raise ValueError(
+                    f"spatial={sp} must divide num_devices={nd}")
+            self.mesh = make_mesh(nd, ("data", "spatial"),
+                                  (nd // sp, sp))
+            self.dp = DataParallel(self.mesh, spatial_axis="spatial")
+        else:
+            self.mesh = make_mesh(cfg.num_devices)
+            self.dp = DataParallel(self.mesh)
         self.model = build_seg_model(cfg, num_groups=self.dp.num_shards)
 
         tf = default_train_transform(cfg)

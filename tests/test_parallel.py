@@ -237,3 +237,56 @@ class TestTensorParallel:
         _, m2 = steps.plain(s1, *tp.shard_inputs(imgs, lbls),
                             jax.random.key(3))
         assert np.isfinite(float(m2["loss"]))
+
+
+@pytest.mark.slow
+def test_seg_spatial_partitioning():
+    """Spatial partitioning ("sp"): sharding the image H axis over a
+    second mesh axis leaves the seg train step's math unchanged — GSPMD
+    inserts the conv halo exchanges and widens every stat reduction
+    (BN, SelfNorm instance stats, fused upsample+CE sums) across the
+    spatial shards.  No reference counterpart (DataParallel splits B
+    only, segmentation/tool/train_cnsn.py:95-122); this is the TPU
+    route to resolutions that exceed one chip's HBM."""
+    from cnsn_tpu.segmentation import (SegStepFns, SegTrainState,
+                                       fcn_cnsn, make_seg_optimizer)
+
+    model = fcn_cnsn(classes=5, block_idxs="1", pos="residual",
+                     cn_pos=None, cnsn_type="sn", crop="neither",
+                     dropout=0.0)
+    x = jnp.asarray(np.random.RandomState(2).randn(8, 32, 32, 3)
+                    .astype(np.float32))
+    y = np.random.RandomState(3).randint(0, 5, (8, 32, 32))
+    y[:, :5] = 255  # ignore band crossing shard boundaries
+    y = jnp.asarray(y.astype(np.int32))
+    v = model.init({"params": jax.random.key(0)}, x, False, None, None)
+    tx = make_seg_optimizer(v["params"], 0.01, 100)
+    state = SegTrainState.create(apply_fn=model.apply, params=v["params"],
+                                 batch_stats=v["batch_stats"], tx=tx)
+    steps = SegStepFns(model, num_classes=5)
+    key = jax.random.key(7)
+
+    results = {}
+    for name, dp in (
+            ("dp", DataParallel(make_mesh(8))),
+            ("sp", DataParallel(make_mesh(8, ("data", "spatial"), (2, 4)),
+                                spatial_axis="spatial"))):
+        st = dp.replicate(state)
+        im, lb = dp.shard_batch(x), dp.shard_batch(y)
+        if name == "sp":
+            assert im.sharding.shard_shape(im.shape) == (4, 8, 32, 3)
+            assert lb.sharding.shard_shape(lb.shape) == (4, 8, 32)
+        s, m = steps.plain(st, im, lb, key)
+        results[name] = (s, m)
+
+    (s1, m1), (s2, m2) = results["dp"], results["sp"]
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    for k in ("intersection", "union", "target"):
+        np.testing.assert_allclose(np.asarray(m1[k]), np.asarray(m2[k]))
+    d = jax.tree.map(lambda a, b: float(np.abs(np.asarray(a - b)).max()),
+                     s1.params, s2.params)
+    # post-update params see fp32 reduction-order noise amplified by the
+    # 10x head LR group; the loss/histogram equality above is the real
+    # cross-sharding check
+    assert max(jax.tree.leaves(d)) < 2e-3
