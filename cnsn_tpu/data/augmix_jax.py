@@ -126,16 +126,20 @@ def _shear_rows_gather(img: jax.Array, offsets: jax.Array) -> jax.Array:
 # matmul but builds the interpolation matrix in bfloat16 — halves the
 # dominant HBM traffic; max pixel error ~1/255 (the uint8 rounding
 # scale), acceptable for a stochastic augmentation.
-_SHEAR_IMPL = os.environ.get("CNSN_AUGMIX_SHEAR", "matmul")
+def _shear_impl() -> str:
+    # read at trace time (augmix_batch threads the value through its
+    # jit cache key, so switching the env var between calls retraces)
+    return os.environ.get("CNSN_AUGMIX_SHEAR", "matmul")
 
 
 def _shear_rows(img: jax.Array, offsets: jax.Array) -> jax.Array:
     """Resample each row y at x + offsets[y] (bilinear, zero fill)."""
     h, w = img.shape[:2]
-    if _SHEAR_IMPL == "gather":
+    impl = _shear_impl()
+    if impl == "gather":
         return _shear_rows_gather(img, offsets)
     m = _row_shear_matrix(h, w, offsets)
-    if _SHEAR_IMPL == "bf16":
+    if impl == "bf16":
         return jnp.einsum("yxs,ysc->yxc", m.astype(jnp.bfloat16),
                           img.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
@@ -310,13 +314,17 @@ def augmix_single(key: jax.Array, image_u8: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("severity", "mixture_width",
-                                             "mixture_depth", "mean", "std"))
-def augmix_batch(key: jax.Array, images_u8: jax.Array, severity: float = 3.0,
-                 mixture_width: int = 3, mixture_depth: int = -1,
-                 mean: Tuple[float, ...] = (0.5, 0.5, 0.5),
-                 std: Tuple[float, ...] = (0.5, 0.5, 0.5)) -> jax.Array:
+                                             "mixture_depth", "mean", "std",
+                                             "_impls"))
+def _augmix_batch(key: jax.Array, images_u8: jax.Array, severity: float = 3.0,
+                  mixture_width: int = 3, mixture_depth: int = -1,
+                  mean: Tuple[float, ...] = (0.5, 0.5, 0.5),
+                  std: Tuple[float, ...] = (0.5, 0.5, 0.5),
+                  _impls: Tuple[str, str] = ("matmul", "onehot")) -> jax.Array:
     """(B, H, W, 3) uint8 → (3, B, H, W, 3) float32: clean + 2 AugMix
-    views, entirely on device."""
+    views, entirely on device.  ``_impls`` carries the
+    CNSN_AUGMIX_{SHEAR,EQ} knobs into the jit cache key so env changes
+    between calls retrace instead of silently reusing the old program."""
     n = images_u8.shape[0]
     keys = jax.random.split(key, 2 * n).reshape(2, n)
     fn = functools.partial(augmix_single, severity=severity,
@@ -328,3 +336,18 @@ def augmix_batch(key: jax.Array, images_u8: jax.Array, severity: float = 3.0,
     std_a = jnp.asarray(std, jnp.float32) * 255.0
     clean = (images_u8.astype(jnp.float32) - mean_a) / std_a
     return jnp.stack([clean, aug1, aug2])
+
+
+def augmix_batch(key: jax.Array, images_u8: jax.Array, severity: float = 3.0,
+                 mixture_width: int = 3, mixture_depth: int = -1,
+                 mean: Tuple[float, ...] = (0.5, 0.5, 0.5),
+                 std: Tuple[float, ...] = (0.5, 0.5, 0.5)) -> jax.Array:
+    """Call-time wrapper: reads CNSN_AUGMIX_{SHEAR,EQ} and passes them
+    as a static arg, so flipping the knobs between calls takes effect
+    (A/B harnesses, tests) instead of hitting the stale jit cache."""
+    impls = (os.environ.get("CNSN_AUGMIX_SHEAR", "matmul"),
+             os.environ.get("CNSN_AUGMIX_EQ", "onehot"))
+    return _augmix_batch(key, images_u8, severity=severity,
+                         mixture_width=mixture_width,
+                         mixture_depth=mixture_depth, mean=mean, std=std,
+                         _impls=impls)

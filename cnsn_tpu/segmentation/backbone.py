@@ -136,9 +136,21 @@ class SegResNet(nn.Module):
     # big 179²/90²×C activations; late stages are cheap to store but
     # expensive to recompute)
     remat: Any = False
+    # 'torchvision': first block of a dilated stage keeps the previous
+    # dilation (cnsn_resnet.py semantics — the FCN trunks).  'psp': ALL
+    # 3x3s of a dilated stage get the full dilation — the reference
+    # PSP/PSA trunks patch every conv2 in layer3/4 to (2,2)/(4,4)
+    # after construction (pspnet.py:50-60, psanet.py:123-131).
+    dilation_mode: str = "torchvision"
 
     @property
     def remat_stages(self):
+        # YAML/CLI coercion: an unquoted `remat: 1_2` parses as the INT
+        # 12, and `remat: 34` likewise — normalize non-bool ints to
+        # their digit set so the documented stage spec survives
+        # yaml.safe_load (bool True still means all stages)
+        if isinstance(self.remat, int) and not isinstance(self.remat, bool):
+            return {int(c) for c in str(self.remat)}
         if isinstance(self.remat, str):
             return {int(v) for v in self.remat.split("_") if v}
         return {1, 2, 3, 4} if self.remat else set()
@@ -188,9 +200,12 @@ class SegResNet(nn.Module):
                 has_ds = (i == 0) and (strides[s] != 1
                                        or inplanes != planes * 4)
                 # first block of a dilated stage uses the previous
-                # dilation on its 3x3 (torchvision semantics)
+                # dilation on its 3x3 (torchvision semantics); 'psp'
+                # mode dilates every block fully (pspnet.py:50-60)
                 dil = (dilations[s - 1] if (i == 0 and s > 0
-                                            and dilations[s] > 1)
+                                            and dilations[s] > 1
+                                            and self.dilation_mode
+                                                != "psp")
                        else dilations[s])
                 active = None
                 if custom and "cn" in (self.cnsn_type or ""):

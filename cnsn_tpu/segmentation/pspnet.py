@@ -140,6 +140,7 @@ class PSPNet(nn.Module):
             block_idxs=self.block_idxs, pos=self.pos, cn_pos=self.cn_pos,
             cnsn_type=self.cnsn_type, crop=self.crop, beta=self.beta,
             num_groups=self.num_groups, dtype=self.dtype, remat=self.remat,
+            dilation_mode="psp",
             name="backbone")(x, train, cn_active, img_cn_active)
         z = feats["out"]
         fea_dim = 2048
@@ -338,6 +339,7 @@ class PSANet(nn.Module):
             block_idxs=self.block_idxs, pos=self.pos, cn_pos=self.cn_pos,
             cnsn_type=self.cnsn_type, crop=self.crop, beta=self.beta,
             num_groups=self.num_groups, dtype=self.dtype, remat=self.remat,
+            dilation_mode="psp",
             name="backbone")(x, train, cn_active, img_cn_active)
         z = PSA(in_channels=2048, mid_channels=512, psa_type=self.psa_type,
                 compact=self.compact, shrink_factor=self.shrink_factor,
@@ -398,6 +400,7 @@ class PSALite(nn.Module):
             block_idxs=self.block_idxs, pos=self.pos, cn_pos=self.cn_pos,
             cnsn_type=self.cnsn_type, crop=self.crop, beta=self.beta,
             num_groups=self.num_groups, dtype=self.dtype, remat=self.remat,
+            dilation_mode="psp",
             name="backbone")(x, train, cn_active, img_cn_active)
         z = feats["out"]
         n, fh, fw, _ = z.shape

@@ -26,23 +26,31 @@ from flax.training import train_state
 from ..train.schedules import poly_lr
 
 __all__ = ["SegTrainState", "make_seg_optimizer", "SegStepFns",
-           "masked_cross_entropy", "seg_metrics"]
+           "masked_cross_entropy", "masked_nll_sum", "seg_metrics"]
 
 
 class SegTrainState(train_state.TrainState):
     batch_stats: Any = None
 
 
-def masked_cross_entropy(logits: jax.Array, labels: jax.Array,
-                         ignore_label: int = 255) -> jax.Array:
-    """Mean CE over non-ignored pixels (torch CrossEntropyLoss
-    ignore_index semantics)."""
+def masked_nll_sum(logits: jax.Array, labels: jax.Array,
+                   ignore_label: int = 255):
+    """(sum of per-pixel NLL over non-ignored pixels, valid count) —
+    the single home of the ignore-masked CE math; mean (train loss) and
+    sum (device-accumulated eval) call sites both build on it."""
     valid = labels != ignore_label
     safe = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-    nll = jnp.where(valid, nll, 0.0)
-    return jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(jnp.where(valid, nll, 0.0)), jnp.sum(valid)
+
+
+def masked_cross_entropy(logits: jax.Array, labels: jax.Array,
+                         ignore_label: int = 255) -> jax.Array:
+    """Mean CE over non-ignored pixels (torch CrossEntropyLoss
+    ignore_index semantics)."""
+    nll_sum, n_valid = masked_nll_sum(logits, labels, ignore_label)
+    return nll_sum / jnp.maximum(n_valid, 1)
 
 
 def seg_metrics(pred: jax.Array, target: jax.Array, num_classes: int,
@@ -212,13 +220,8 @@ class SegStepFns:
                                                 self.ignore_label,
                                                 self.align_corners)
         else:
-            valid = labels != self.ignore_label
-            safe = jnp.where(valid, labels, 0)
-            logp = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
-            nll = -jnp.take_along_axis(logp, safe[..., None],
-                                       axis=-1)[..., 0]
-            nll_sum = jnp.sum(jnp.where(valid, nll, 0.0))
-            n_valid = jnp.sum(valid)
+            nll_sum, n_valid = masked_nll_sum(out, labels,
+                                              self.ignore_label)
         pred = self._pred(out, labels)
         inter, union, target = seg_metrics(pred, labels, self.num_classes,
                                            self.ignore_label)

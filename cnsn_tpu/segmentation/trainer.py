@@ -88,6 +88,7 @@ class SegConfig:
     save_freq: int = 1                    # checkpoint every N epochs
     start_epoch: int = 0
     weight: Optional[str] = None          # init-only checkpoint (params)
+    resume: Optional[str] = None          # full restore (params+opt+epoch)
     num_devices: Optional[int] = None
     # Spatial partitioning: shard the image H axis over this many mesh
     # devices (num_devices must be divisible).  GSPMD inserts the conv
@@ -229,6 +230,22 @@ class SegTrainer:
                 params=payload["params"],
                 batch_stats=payload["batch_stats"])
             print(f"=> loaded weight '{cfg.weight}'")
+        # full restore AFTER the init-only weight load, matching the
+        # reference's weight-then-resume precedence (train_cnsn.py:
+        # 179-204).  Orbax: always auto-restore the latest step so a
+        # scheduler restart after the SIGTERM flush resumes where the
+        # preempted run stopped (mirrors train/trainer.py).
+        restored = 0
+        if self.ckpt is not None:
+            restored = self.resume()
+        elif cfg.resume:
+            if os.path.isfile(cfg.resume):
+                restored = self.resume(cfg.resume)
+            else:
+                print(f"=> no checkpoint found at '{cfg.resume}'")
+        if restored:
+            cfg.start_epoch = restored
+            self._epoch = restored
 
     def _next_key(self):
         self._it += 1
@@ -351,9 +368,14 @@ class SegTrainer:
         if self.ckpt is not None:
             self.state, step, extra = self.ckpt.restore(
                 self.state, extra_template={"epoch": 0})
-            epoch = int(extra.get("epoch", 0)) if step is not None else 0
+            if step is None:
+                return 0
+            epoch = int(extra.get("epoch", 0))
             print(f"=> restored orbax step {step} (epoch {epoch})")
             return epoch
+        if path is None:
+            raise ValueError(
+                "msgpack backend requires an explicit checkpoint path")
         from ..utils.checkpoint import restore_state
         self.state, epoch, _ = restore_state(path, self.state)
         print(f"=> loaded checkpoint '{path}' (epoch {epoch})")

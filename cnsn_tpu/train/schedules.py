@@ -52,11 +52,15 @@ def imagenet_step_lr(base_lr: float, epochs: int, batch_size: int,
 def poly_lr(base_lr: float, max_iter: int, power: float = 0.9):
     """Per-iteration poly decay (segmentation/util/util.py:102-105).
 
-    The reference evaluates it at ``current_iter = ... + i + 1``
-    (train_cnsn.py:344-345) — 1-based — while optax's schedule step is
-    0-based at the first update, hence the +1."""
+    The reference assigns ``poly(i+1)`` AFTER ``optimizer.step()``
+    (train_cnsn.py:319-349), so that LR only takes effect at the NEXT
+    update; with the optimizer constructed at ``base_lr``
+    (train_cnsn.py:148-158), 0-based update ``s`` therefore runs at
+    ``poly(s)`` with ``poly(0) = base_lr`` — exactly optax's 0-based
+    schedule count.  (No +1: shifting would both skip the base-LR first
+    update and waste the final update at lr=0.)"""
     def schedule(step):
-        return base_lr * (1.0 - (_stepf(step) + 1.0) / max_iter) ** power
+        return base_lr * (1.0 - _stepf(step) / max_iter) ** power
 
     return schedule
 

@@ -154,7 +154,10 @@ class Trainer:
                 print(f"=> restored orbax step {step} "
                       f"(epoch {self.start_epoch})")
             # preemption: SIGTERM → flush a final checkpoint, then exit
-            # with the conventional 143 so the scheduler restarts us
+            # with the conventional 143 so the scheduler restarts us.
+            # _epoch must exist BEFORE the handler is live — a SIGTERM
+            # in the install→fit window would otherwise crash get_extra
+            self._epoch = self.start_epoch
             install_preemption_save(
                 lambda: (int(jax.device_get(self.state.step)), self.state),
                 self.ckpt,

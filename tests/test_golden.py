@@ -261,3 +261,64 @@ def test_golden_seg_fcn_cnsn():
     np.testing.assert_allclose(
         t_auxl.transpose(0, 2, 3, 1), np.asarray(f_aux), rtol=1e-3,
         atol=1e-3)
+
+
+def test_golden_seg_pspnet():
+    """Full PSPNet golden parity vs the actual reference
+    (segmentation/model/pspnet.py:29-107): plain resnet50 trunk with
+    the PSP full-dilation patch (every layer3/4 conv2 at (2,2)/(4,4) —
+    NOT torchvision's progressive convention, pspnet.py:50-60), PPM at
+    bins (1,2,3,6) with torch adaptive-pool + align_corners=True
+    upsampling, 512-wide cls head.  Eval logits ≤1e-3."""
+    seg_ref = os.path.join(REFERENCE, "segmentation")
+    if seg_ref not in sys.path:
+        sys.path.insert(0, seg_ref)
+    import model.pspnet as ref_pspnet
+
+    tmodel = _quiet(ref_pspnet.PSPNet, layers=50, classes=19,
+                    zoom_factor=8, pretrained=False)
+    tmodel.eval()
+    _randomize_running_stats(tmodel)
+
+    from cnsn_tpu.segmentation import PSPNet
+    f = PSPNet(classes=19)
+    x = _x((2, 65, 65, 3))
+    variables = f.init({"params": jax.random.key(0)}, jnp.asarray(x),
+                       False, None, None)
+    params = dict(variables["params"])
+    stats = dict(variables["batch_stats"])
+
+    sd = tmodel.state_dict()
+    # trunk: PSPNet rewraps conv1/bn1 into layer0.{0,1}
+    bb = {k: v for k, v in sd.items() if k.startswith("layer")}
+    params, stats, missing = convert_state_dict(
+        bb, params, stats, strict=True, prefix=("backbone",),
+        key_map={"layer0.0": "conv1", "layer0.1": "bn1"})
+    assert not missing, missing
+    # PPM: features.j = Sequential(pool, conv, bn, relu)
+    ppm = {k: v for k, v in sd.items() if k.startswith("ppm.")}
+    ppm_map = {}
+    for j in range(4):
+        ppm_map[f"ppm.features.{j}.1"] = f"conv_{j}"
+        ppm_map[f"ppm.features.{j}.2"] = f"bn_{j}"
+    params, stats, missing = convert_state_dict(
+        ppm, params, stats, strict=True, prefix=("ppm",), key_map=ppm_map)
+    assert not missing, missing
+    head_map = {"0": "conv1", "1": "bn1", "4": "conv2"}
+    for name in ("cls", "aux"):
+        sub = {k[len(name) + 1:]: v for k, v in sd.items()
+               if k.startswith(name + ".")}
+        params, stats, missing = convert_state_dict(
+            sub, params, stats, strict=True, prefix=(name,),
+            key_map=head_map)
+        assert not missing, missing
+
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        t_out = tmodel(xt).numpy()
+
+    f_out, _ = f.apply({"params": params, "batch_stats": stats},
+                       jnp.asarray(x), False, None, None)
+    np.testing.assert_allclose(
+        t_out.transpose(0, 2, 3, 1), np.asarray(f_out), rtol=1e-3,
+        atol=1e-3)

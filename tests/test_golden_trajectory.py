@@ -80,8 +80,8 @@ def test_golden_trajectory_resnet50_flagship():
 
 def test_golden_trajectory_segmentation():
     """Seg training dynamics vs torch: SGD momentum 0.9 + coupled wd
-    (NO nesterov), per-iteration 1-based poly LR with 10x head groups
-    (train_cnsn.py:326-349, util.py:102-105), BN running stats, dual
+    (NO nesterov), per-iteration post-step poly LR with 10x head groups
+    (train_cnsn.py:319-349, util.py:102-105), BN running stats, dual
     FCN heads with aux_weight 0.4, ignore-masked CE."""
     _assert_tracks(_run_lockstep("segmentation"))
 
@@ -183,8 +183,8 @@ def _driver_seg():
     """f64 lockstep for the segmentation world (reference
     segmentation/tool/train_cnsn.py:300-380): dilated SN trunk + dual
     FCN heads (dropout 0 for determinism), loss = CE + 0.4*CE_aux with
-    ignore_index 255, SGD(momentum=0.9, wd=1e-4) with 1-based poly LR
-    and 10x head groups."""
+    ignore_index 255, SGD(momentum=0.9, wd=1e-4) with the reference's
+    post-step poly LR assignment and 10x head groups."""
     import contextlib
     import io
 
@@ -289,14 +289,11 @@ def _driver_seg():
     # ----- torch side (reference loop)
     heads_params = list(t_cls.parameters()) + list(t_aux.parameters())
     opt = torch.optim.SGD(
-        [{"params": list(trunk.parameters())},
-         {"params": heads_params}],
+        [{"params": list(trunk.parameters()), "lr": base_lr},
+         {"params": heads_params, "lr": base_lr * 10.0}],
         lr=base_lr, momentum=0.9, weight_decay=wd)
     t_losses = []
     for i, (x, y) in enumerate(batches):
-        lr_i = base_lr * (1 - float(i + 1) / max_iter) ** 0.9
-        opt.param_groups[0]["lr"] = lr_i
-        opt.param_groups[1]["lr"] = lr_i * 10.0
         xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
         yt = torch.from_numpy(y)
         feats = trunk(xt)
@@ -309,6 +306,12 @@ def _driver_seg():
         opt.zero_grad()
         loss.backward()
         opt.step()
+        # faithful to the reference loop: poly(i+1) is assigned AFTER
+        # step() and only takes effect at the next update
+        # (train_cnsn.py:319-349)
+        lr_i = base_lr * (1 - float(i + 1) / max_iter) ** 0.9
+        opt.param_groups[0]["lr"] = lr_i
+        opt.param_groups[1]["lr"] = lr_i * 10.0
         t_losses.append(loss.item())
 
     print(json.dumps({"torch": t_losses, "jax": f_losses}))

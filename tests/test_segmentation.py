@@ -274,6 +274,35 @@ def test_seg_trainer_train_epoch_smoke(tmp_path):
     tr.train_epoch(0)
 
 
+def test_seg_trainer_orbax_auto_restore(tmp_path):
+    """Seg failure recovery: with ckpt_backend='orbax', a fresh
+    SegTrainer pointed at an experiment dir that already holds a
+    checkpoint must auto-restore it in __init__ (scheduler-restart
+    semantics — the SIGTERM flush is useless if the restarted process
+    trains from scratch; reference --resume: train_cnsn.py:191-204)."""
+    from cnsn_tpu.segmentation.data import synthetic_seg_dataset
+    from cnsn_tpu.segmentation.trainer import SegConfig, SegTrainer
+
+    kw = dict(arch="fcn_cnsn", classes=5, train_h=33, train_w=33,
+              batch_size=4, batch_size_val=4, epochs=1,
+              cnsn_type="sn", pos="residual", cn_pos=None,
+              block_idxs="1", crop="neither",
+              save_path=str(tmp_path), print_freq=2, num_devices=4,
+              ckpt_backend="orbax", eval_freq=100)
+    train_ds = synthetic_seg_dataset(8, hw=(41, 41), classes=5)
+    tr = SegTrainer(SegConfig(**kw), train_ds, None)
+    tr.fit()
+    step = int(jax.device_get(tr.state.step))
+    assert step > 0
+
+    tr2 = SegTrainer(SegConfig(**kw), train_ds, None)
+    assert int(jax.device_get(tr2.state.step)) == step
+    assert tr2.cfg.start_epoch == 1
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(jax.device_get(tr2.state.params))[0]),
+        np.asarray(jax.tree.leaves(jax.device_get(tr.state.params))[0]))
+
+
 def test_seg_validate_shard_safe_odd_tail(tmp_path):
     """validate() over the full 8-device mesh with an odd-sized val set
     (drop_last=False ⇒ a 3-row tail on batch 4): tail batches must be

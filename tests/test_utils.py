@@ -64,13 +64,13 @@ def test_schedule_shapes():
     # m = 1 / 0.1 / 0.01), epochs past 3k do NOT decay further
     np.testing.assert_allclose(float(s(89 * 10)), 0.001 * 2.0, rtol=1e-6)
     np.testing.assert_allclose(float(s(95 * 10)), 0.001 * 2.0, rtol=1e-6)
-    # poly — reference is 1-based (train_cnsn.py:344: current_iter =
-    # epoch*len + i + 1), so the first update already decays one tick
+    # poly — the reference assigns poly(i+1) AFTER optimizer.step()
+    # (train_cnsn.py:319-349), so 0-based update s runs at poly(s): the
+    # first update uses base_lr and no update ever runs at lr=0
     p = poly_lr(0.01, 100)
-    np.testing.assert_allclose(float(p(0)), 0.01 * (1 - 1 / 100) ** 0.9)
-    np.testing.assert_allclose(float(p(98)), 0.01 * (1 - 99 / 100) ** 0.9,
+    np.testing.assert_allclose(float(p(0)), 0.01)
+    np.testing.assert_allclose(float(p(99)), 0.01 * (1 - 99 / 100) ** 0.9,
                                rtol=1e-6)
-    assert float(p(99)) == 0.0
     # seg step
     st = step_lr(0.1, 25, 100)
     np.testing.assert_allclose(float(st(2499 * 100 // 100)), 0.1 * 0.1 ** (24 // 25))
