@@ -322,3 +322,137 @@ def test_golden_seg_pspnet():
     np.testing.assert_allclose(
         t_out.transpose(0, 2, 3, 1), np.asarray(f_out), rtol=1e-3,
         atol=1e-3)
+
+
+def _cpu_psa_mask(y, psa_type, mask_h, mask_w):
+    """CPU reimplementation of the reference's CUDA ``psa_mask`` op
+    (called at segmentation/model/psanet.py:67,85-86; the kernel lives
+    in the upstream semseg repo's lib/psa, which the reference does not
+    ship).  Semantics are pinned independently by the scatter oracle in
+    tests/test_segmentation.py::TestPSA — position (i,j) writes its
+    mask_h×mask_w window into a zero-filled (h*w, h*w) buffer, column-
+    wise for collect (type 0/2-col) and row-wise for distribute."""
+    n, _, h, w = y.shape
+    half_h, half_w = (mask_h - 1) // 2, (mask_w - 1) // 2
+    out = torch.zeros(n, h * w, h * w, dtype=y.dtype)
+    for i in range(h):
+        for j in range(w):
+            p = i * w + j
+            for dh in range(mask_h):
+                a = dh + i - half_h
+                if not 0 <= a < h:
+                    continue
+                for dw in range(mask_w):
+                    b = dw + j - half_w
+                    if not 0 <= b < w:
+                        continue
+                    g = a * w + b
+                    if psa_type == 1:
+                        out[:, p, g] = y[:, dh * mask_w + dw, i, j]
+                    else:
+                        out[:, g, p] = y[:, dh * mask_w + dw, i, j]
+    return out.view(n, h * w, h, w)
+
+
+def test_golden_seg_psanet(monkeypatch):
+    """Full PSANet golden parity vs the actual reference
+    (segmentation/model/psanet.py:9-179, bi-direction psa_type=2,
+    shrink_factor=2, psa_softmax): reduce/reduce_p + attention towers,
+    psa_mask expansion, softmax-over-globals bmm, proj, align_corners
+    resize round-trip, 4096-wide cls head.
+
+    The reference constructor is dead code as shipped — layer0 references
+    ``resnet.conv2/bn2/conv3/bn3`` (psanet.py:120) that its
+    model/resnet.py trunk (7×7 conv1 stem) does not have, and the CUDA
+    ``lib.psa`` package is absent.  Revived losslessly here: the missing
+    stem attrs become ``nn.Identity()`` (param-free; the extra ReLUs are
+    idempotent after bn1's ReLU), and ``lib.psa.functional.psa_mask`` is
+    stubbed with the oracle-pinned CPU implementation above.  Eval
+    logits ≤1e-3."""
+    seg_ref = os.path.join(REFERENCE, "segmentation")
+    if seg_ref not in sys.path:
+        sys.path.insert(0, seg_ref)
+    for name in ("lib", "lib.psa", "lib.psa.functional"):
+        mod = types.ModuleType(name)
+        monkeypatch.setitem(sys.modules, name, mod)
+    sys.modules["lib"].psa = sys.modules["lib.psa"]
+    sys.modules["lib.psa"].functional = sys.modules["lib.psa.functional"]
+    sys.modules["lib.psa.functional"].psa_mask = _cpu_psa_mask
+    import model.psanet as ref_psanet
+    import model.resnet as ref_resnet
+
+    orig_resnet50 = ref_resnet.resnet50
+
+    def fixed_resnet50(pretrained=False, **kw):
+        r = orig_resnet50(pretrained=False)
+        for attr in ("conv2", "bn2", "conv3", "bn3"):
+            setattr(r, attr, torch.nn.Identity())
+        return r
+
+    monkeypatch.setattr(ref_psanet.models, "resnet50", fixed_resnet50)
+    tmodel = _quiet(ref_psanet.PSANet, layers=50, classes=19,
+                    zoom_factor=8, psa_type=2, compact=False,
+                    shrink_factor=2, mask_h=9, mask_w=9,
+                    normalization_factor=1.0, psa_softmax=True,
+                    pretrained=False)
+    tmodel.eval()
+    _randomize_running_stats(tmodel)
+
+    from cnsn_tpu.segmentation import PSANet
+    f = PSANet(classes=19, psa_type=2, shrink_factor=2)
+    x = _x((2, 65, 65, 3))
+    variables = f.init({"params": jax.random.key(0)}, jnp.asarray(x),
+                       False, None, None)
+    params = dict(variables["params"])
+    stats = dict(variables["batch_stats"])
+
+    sd = tmodel.state_dict()
+    bb = {k: v for k, v in sd.items() if k.startswith("layer")}
+    params, stats, missing = convert_state_dict(
+        bb, params, stats, strict=True, prefix=("backbone",),
+        key_map={"layer0.0": "conv1", "layer0.1": "bn1"})
+    assert not missing, missing
+    psa_map = {
+        "reduce.0": "reduce_conv", "reduce.1": "reduce_bn",
+        "attention.0": "attention_conv1", "attention.1": "attention_bn",
+        "attention.3": "attention_conv2",
+        "reduce_p.0": "reduce_p_conv", "reduce_p.1": "reduce_p_bn",
+        "attention_p.0": "attention_p_conv1",
+        "attention_p.1": "attention_p_bn",
+        "attention_p.3": "attention_p_conv2",
+        "proj.0": "proj_conv", "proj.1": "proj_bn",
+    }
+    psa_sd = {k[4:]: v for k, v in sd.items() if k.startswith("psa.")}
+    params, stats, missing = convert_state_dict(
+        psa_sd, params, stats, strict=True, prefix=("psa",),
+        key_map=psa_map)
+    assert not missing, missing
+    head_map = {"0": "conv1", "1": "bn1", "4": "conv2"}
+    for name in ("cls", "aux"):
+        sub = {k[len(name) + 1:]: v for k, v in sd.items()
+               if k.startswith(name + ".")}
+        params, stats, missing = convert_state_dict(
+            sub, params, stats, strict=True, prefix=(name,),
+            key_map=head_map)
+        assert not missing, missing
+
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        t_out = tmodel(xt).numpy()
+        # the reference only runs aux in training (psanet.py:171-174);
+        # replicate its aux path (layer3 feature → aux head → resize)
+        z = tmodel.layer0(xt)
+        for lyr in (tmodel.layer1, tmodel.layer2, tmodel.layer3):
+            z = lyr(z)
+        t_aux = torch.nn.functional.interpolate(
+            tmodel.aux(z), size=(65, 65), mode="bilinear",
+            align_corners=True).numpy()
+
+    f_out, f_aux = f.apply({"params": params, "batch_stats": stats},
+                           jnp.asarray(x), False, None, None)
+    np.testing.assert_allclose(
+        t_out.transpose(0, 2, 3, 1), np.asarray(f_out), rtol=1e-3,
+        atol=1e-3)
+    np.testing.assert_allclose(
+        t_aux.transpose(0, 2, 3, 1), np.asarray(f_aux), rtol=1e-3,
+        atol=1e-3)
