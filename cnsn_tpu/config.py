@@ -80,6 +80,10 @@ class ExperimentConfig:
     pretrained: Optional[str] = None   # torch .pth partial init
     evaluate: bool = False
     num_devices: Optional[int] = None  # data-parallel width (None = all)
+    # ZeRO-style fully-sharded data parallelism: shard params + optimizer
+    # moments over the data axis (parallel/fsdp.py); same math as
+    # replicated DP, per-chip state memory / num_devices
+    fsdp: bool = False
     compute_dtype: str = "fp32"        # fp32 | bf16 (params stay fp32)
     remat: bool = False                # rematerialize ResNet bottlenecks
     image_size: Optional[int] = None   # default: 32 (CIFAR) / 224 (ImageNet)

@@ -35,7 +35,11 @@ class Trainer:
         np.random.seed(cfg.seed)
 
         self.mesh = make_mesh(cfg.num_devices)
-        self.dp = DataParallel(self.mesh)
+        if getattr(cfg, "fsdp", False):
+            from ..parallel import FSDP
+            self.dp = FSDP(self.mesh)
+        else:
+            self.dp = DataParallel(self.mesh)
         if cfg.batch_size % self.dp.num_shards != 0:
             raise ValueError(
                 f"batch_size {cfg.batch_size} must be divisible by the "
@@ -129,7 +133,9 @@ class Trainer:
                              image_crop=cfg.crop or "neither",
                              image_beta=cfg.beta or 1.0,
                              num_groups=self.dp.num_shards)
-        self.state = self.dp.replicate(self.state)
+        self.state = (self.dp.shard_state(self.state)
+                      if getattr(cfg, "fsdp", False)
+                      else self.dp.replicate(self.state))
 
         self.start_epoch = 0
         self.best_acc = 0.0
@@ -173,6 +179,10 @@ class Trainer:
         else:
             self.exp_dir = get_log_dir_path(cfg.exp_dir, cfg.exp_id)
             os.makedirs(self.exp_dir, exist_ok=True)
+        if getattr(cfg, "fsdp", False):
+            # re-apply the ZeRO placement after any restore (msgpack
+            # checkpoints load as host arrays); idempotent otherwise
+            self.state = self.dp.shard_state(self.state)
         self._epoch = self.start_epoch
         self.log_file = os.path.join(self.exp_dir, "log.txt")
         if getattr(cfg, "snapshot", True):

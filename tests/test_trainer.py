@@ -32,6 +32,32 @@ def test_cifar_trainer_smoke(tmp_path):
     assert abs(acc2 - acc) < 1e-9  # state unchanged by save/restore
 
 
+def test_cifar_trainer_fsdp_smoke(tmp_path):
+    """fsdp=true end-to-end: one epoch + clean eval with ZeRO-sharded
+    state, checkpoint save → restore keeps the FSDP placement."""
+    cfg = load_config("cnsn_tpu/configs/cifar10/allconv/cn.yaml",
+                      synthetic_data=True, epochs=1, batch_size=16,
+                      eval_batch_size=32, exp_dir=str(tmp_path),
+                      print_freq=100)
+    import dataclasses
+    cfg = dataclasses.replace(cfg, num_devices=4, fsdp=True)
+    t = Trainer(cfg)
+    k = t.state.params["conv_0"]["kernel"]
+    assert k.sharding.shard_shape(k.shape)[-1] == k.shape[-1] // 4
+    loss = t.train_epoch()
+    assert np.isfinite(loss)
+    tl, acc = t.evaluate_clean()
+    assert 0.0 <= acc <= 1.0
+    from cnsn_tpu.utils.checkpoint import save_checkpoint
+    p = save_checkpoint(t.state, "m", t.exp_dir, 1, acc, True)
+    cfg2 = dataclasses.replace(cfg, resume=p)
+    t2 = Trainer(cfg2)
+    k2 = t2.state.params["conv_0"]["kernel"]
+    assert k2.sharding.shard_shape(k2.shape)[-1] == k2.shape[-1] // 4
+    tl2, acc2 = t2.evaluate_clean()
+    assert abs(acc2 - acc) < 1e-9
+
+
 @pytest.fixture(scope="module")
 def fake_imagenet(tmp_path_factory):
     root = tmp_path_factory.mktemp("imagenet")
