@@ -96,6 +96,9 @@ class SegConfig:
     # data parallelism (tests/test_parallel.py).  Use when one chip's
     # HBM cannot hold the per-device sub-batch at full resolution.
     spatial: int = 1
+    # ZeRO-style FSDP (parallel/fsdp.py): shard params + optimizer
+    # moments over the data axis.  Composes with spatial partitioning.
+    fsdp: bool = False
     mean: tuple = (0.485 * 255, 0.456 * 255, 0.406 * 255)
     std: tuple = (0.229 * 255, 0.224 * 255, 0.225 * 255)
 
@@ -151,6 +154,10 @@ class SegTrainer:
         self.cfg = cfg
         np.random.seed(cfg.seed)
         sp = max(1, int(getattr(cfg, "spatial", 1) or 1))
+        dp_cls = DataParallel
+        if getattr(cfg, "fsdp", False):
+            from ..parallel import FSDP
+            dp_cls = FSDP
         if sp > 1:
             nd = cfg.num_devices or len(jax.devices())
             if nd % sp:
@@ -158,10 +165,10 @@ class SegTrainer:
                     f"spatial={sp} must divide num_devices={nd}")
             self.mesh = make_mesh(nd, ("data", "spatial"),
                                   (nd // sp, sp))
-            self.dp = DataParallel(self.mesh, spatial_axis="spatial")
+            self.dp = dp_cls(self.mesh, spatial_axis="spatial")
         else:
             self.mesh = make_mesh(cfg.num_devices)
-            self.dp = DataParallel(self.mesh)
+            self.dp = dp_cls(self.mesh)
         self.model = build_seg_model(cfg, num_groups=self.dp.num_shards)
 
         tf = default_train_transform(cfg)
@@ -191,7 +198,9 @@ class SegTrainer:
         state = SegTrainState.create(
             apply_fn=self.model.apply, params=variables["params"],
             batch_stats=variables.get("batch_stats", {}), tx=tx)
-        self.state = self.dp.replicate(state)
+        self.state = (self.dp.shard_state(state)
+                      if getattr(cfg, "fsdp", False)
+                      else self.dp.replicate(state))
         self.steps = SegStepFns(self.model, num_classes=cfg.classes,
                                 active_num=cfg.active_num,
                                 aux_weight=cfg.aux_weight,
@@ -246,6 +255,10 @@ class SegTrainer:
         if restored:
             cfg.start_epoch = restored
             self._epoch = restored
+        if getattr(cfg, "fsdp", False):
+            # re-apply the ZeRO placement after any weight/resume load
+            # (msgpack checkpoints load as host arrays); idempotent
+            self.state = self.dp.shard_state(self.state)
 
     def _next_key(self):
         self._it += 1

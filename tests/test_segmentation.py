@@ -274,6 +274,27 @@ def test_seg_trainer_train_epoch_smoke(tmp_path):
     tr.train_epoch(0)
 
 
+def test_seg_trainer_fsdp_spatial_smoke(tmp_path):
+    """fsdp=true composed with spatial=2: ZeRO param/moment sharding over
+    'data' while images shard H over 'spatial'; one epoch end-to-end."""
+    from cnsn_tpu.segmentation.data import synthetic_seg_dataset
+    from cnsn_tpu.segmentation.trainer import SegConfig, SegTrainer
+
+    cfg = SegConfig(arch="fcn_cnsn", classes=5, train_h=33, train_w=33,
+                    batch_size=4, batch_size_val=4, epochs=1,
+                    cnsn_type="sn", pos="residual", cn_pos=None,
+                    block_idxs="1", crop="neither",
+                    save_path=str(tmp_path), print_freq=2,
+                    num_devices=8, spatial=2, fsdp=True, eval_freq=100)
+    train_ds = synthetic_seg_dataset(8, hw=(41, 41), classes=5)
+    tr = SegTrainer(cfg, train_ds, None)
+    k = tr.state.params["backbone"]["conv1"]["kernel"]
+    assert k.sharding.shard_shape(k.shape)[-1] == k.shape[-1] // 4
+    tr.train_epoch(0)
+    k2 = tr.state.params["backbone"]["conv1"]["kernel"]
+    assert k2.sharding.shard_shape(k2.shape)[-1] == k2.shape[-1] // 4
+
+
 def test_seg_trainer_orbax_auto_restore(tmp_path):
     """Seg failure recovery: with ckpt_backend='orbax', a fresh
     SegTrainer pointed at an experiment dir that already holds a
