@@ -85,16 +85,103 @@ def _seg_main(args):
         trainer.validate()
 
 
+def _export_main(args):
+    """Export the eval forward as a portable StableHLO artifact
+    (serving.py): weights baked in, symbolic batch dim, deserializable
+    without any model code."""
+    import jax
+    import jax.numpy as jnp
+
+    from .serving import save_artifact
+
+    platforms = args.platforms.split(",") if args.platforms else None
+    if args.command == "seg-export":
+        import dataclasses
+
+        import yaml
+
+        from .segmentation.trainer import SegConfig, build_seg_model
+        from .serving import export_segmenter
+        data = {}
+        if args.config:
+            with open(args.config) as f:
+                data = yaml.safe_load(f) or {}
+        for pair in args.overrides:
+            k, _, raw = pair.partition("=")
+            data[k] = yaml.safe_load(raw)
+        fields = {f.name for f in dataclasses.fields(SegConfig)}
+        cfg = SegConfig(**{k: v for k, v in data.items() if k in fields})
+        model = build_seg_model(cfg)
+        x0 = jnp.zeros((1, cfg.train_h, cfg.train_w, 3))
+        variables = model.init({"params": jax.random.key(0)}, x0,
+                               False, None, None)
+        if cfg.weight or cfg.resume:
+            from .segmentation import make_seg_optimizer
+            from .utils.checkpoint import load_checkpoint
+            tx = make_seg_optimizer(variables["params"], cfg.base_lr, 1)
+            payload = load_checkpoint(cfg.weight or cfg.resume, {
+                "epoch": 0, "best_acc": 0.0, "params": variables["params"],
+                "batch_stats": variables["batch_stats"],
+                "opt_state": tx.init(variables["params"]), "step": 0})
+            variables = {"params": payload["params"],
+                         "batch_stats": payload["batch_stats"]}
+        exported = export_segmenter(model, variables,
+                                    (cfg.train_h, cfg.train_w),
+                                    platforms=platforms)
+    else:
+        from .models import build_model
+        from .serving import export_classifier
+        cfg = load_config(args.config)
+        if args.overrides:
+            cfg = apply_overrides(cfg, args.overrides)
+        cfg = cfg.infer()
+        model_kw = dict(pos=cfg.pos, crop=cfg.crop, beta=cfg.beta,
+                        cnsn_type=cfg.cnsn_type, num_groups=1,
+                        dtype=(jnp.bfloat16 if cfg.compute_dtype == "bf16"
+                               else None))
+        if cfg.model.startswith("resnet"):
+            model_kw["remat"] = cfg.remat
+        model = build_model(cfg.model, num_classes=cfg.num_classes,
+                            **model_kw)
+        image_size = cfg.image_size or (224 if cfg.dataset == "imagenet"
+                                        else 32)
+        x0 = jnp.zeros((1, image_size, image_size, 3))
+        variables = model.init({"params": jax.random.key(0)}, x0,
+                               False, None)
+        if cfg.resume:
+            from .train import cosine_lr, create_train_state, make_sgd
+            from .utils.checkpoint import restore_state
+            state = create_train_state(model, jax.random.key(0),
+                                       (1, image_size, image_size, 3),
+                                       make_sgd(cosine_lr(0.1, 1)))
+            state, _, _ = restore_state(cfg.resume, state)
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+        exported = export_classifier(model, variables, image_size,
+                                     platforms=platforms)
+    save_artifact(exported, args.out)
+    print(f"exported {args.out} ({os.path.getsize(args.out)} bytes, "
+          f"platforms={list(exported.platforms)}, "
+          f"in_shape={exported.in_avals[0].shape})")
+
+
 def main(argv=None):
     _pin_platform()
     parser = argparse.ArgumentParser(prog="cnsn")
     parser.add_argument("command",
-                        choices=["train", "eval", "seg-train", "seg-eval"])
+                        choices=["train", "eval", "seg-train", "seg-eval",
+                                 "export", "seg-export"])
     parser.add_argument("--config", default=None)
+    parser.add_argument("--out", default="model.shlo",
+                        help="output path for export/seg-export")
+    parser.add_argument("--platforms", default=None,
+                        help="comma list, e.g. tpu,cpu (default: current)")
     parser.add_argument("overrides", nargs="*",
                         help="key=value config overrides")
     args = parser.parse_args(argv)
 
+    if args.command.endswith("export"):
+        return _export_main(args)
     if args.command.startswith("seg-"):
         return _seg_main(args)
 
