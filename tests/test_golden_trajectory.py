@@ -43,6 +43,8 @@ CONFIGS = {
     # model -> (n_steps, batch, size, classes, lr, wd, total_steps)
     "wideresnet": (3, 16, 32, 10, 0.1, 5e-4, 24),
     "resnet50": (3, 8, 64, 1000, 0.1, 1e-4, 16),
+    # AugMix JSD regime on WRN: batch is per-view (3 stacked views)
+    "augmix": (3, 8, 32, 10, 0.1, 5e-4, 24),
 }
 
 
@@ -76,6 +78,14 @@ def test_golden_trajectory_wideresnet():
 
 def test_golden_trajectory_resnet50_flagship():
     _assert_tracks(_run_lockstep("resnet50"))
+
+
+def test_golden_trajectory_augmix_jsd():
+    """AugMix JSD training dynamics vs torch (cifar.py:219-246, cn gate
+    off): one batched forward over the 3-view concat (BN batch stats
+    over 3B), CE on the clean view + 12×JSD with the clamped-mixture KL
+    — multi-step, through the same SGD/cosine trajectory."""
+    _assert_tracks(_run_lockstep("augmix"))
 
 
 def test_golden_trajectory_segmentation():
@@ -115,7 +125,7 @@ def _driver(which):
 
     torch.manual_seed(0)
     with contextlib.redirect_stdout(io.StringIO()):
-        if which == "wideresnet":
+        if which in ("wideresnet", "augmix"):
             from models.cifar.wideresnet_cnsn import WideResNet as TorchWRN
             t = TorchWRN(40, classes, 2, 0.0, active_num=2, pos="post",
                          beta=1.0, crop="neither", cnsn_type="cnsn")
@@ -131,12 +141,15 @@ def _driver(which):
     t = t.double()
 
     rng = np.random.RandomState(3)
-    batches = [(rng.randn(batch, size, size, 3),
+    xshape = ((3, batch, size, size, 3) if which == "augmix"
+              else (batch, size, size, 3))
+    batches = [(rng.randn(*xshape),
                 rng.randint(0, classes, batch).astype(np.int64))
                for _ in range(steps_n)]
 
     # ----- jax side first (imports the torch init before it mutates)
-    x0 = jnp.asarray(batches[0][0])
+    x0 = jnp.asarray(batches[0][0][0] if which == "augmix"
+                     else batches[0][0])
     variables = f.init({"params": jax.random.key(0)}, x0, False, None)
     params, stats, missing = convert_state_dict(
         t.state_dict(), dict(variables["params"]),
@@ -152,13 +165,16 @@ def _driver(which):
     state = state.replace(params=params, batch_stats=stats,
                           opt_state=tx.init(params))
     sfns = StepFns(f)
+    step_fn = sfns.augmix if which == "augmix" else sfns.plain
     f_losses = []
     for i, (x, y) in enumerate(batches):
-        state, metrics = sfns.plain(state, jnp.asarray(x),
-                                    jnp.asarray(y), jax.random.key(i))
+        state, metrics = step_fn(state, jnp.asarray(x),
+                                 jnp.asarray(y), jax.random.key(i))
         f_losses.append(float(metrics["loss"]))
 
-    # ----- torch side (reference loop, cifar.py:399-413 + 87-90)
+    # ----- torch side (reference loops: plain cifar.py:399-413 + 87-90,
+    # augmix JSD cifar.py:219-246 with the cn gate off)
+    F = torch.nn.functional
     opt = torch.optim.SGD(t.parameters(), lr, momentum=0.9,
                           weight_decay=wd, nesterov=True)
     sched = torch.optim.lr_scheduler.LambdaLR(
@@ -167,9 +183,22 @@ def _driver(which):
     t.train()
     t_losses = []
     for x, y in batches:
-        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
-        loss = torch.nn.functional.cross_entropy(
-            t(xt), torch.from_numpy(y))
+        yt = torch.from_numpy(y)
+        if which == "augmix":
+            xt = torch.from_numpy(
+                x.reshape(-1, size, size, 3).transpose(0, 3, 1, 2))
+            logits_all = t(xt)
+            lc, l1, l2 = torch.split(logits_all, batch)
+            loss = F.cross_entropy(lc, yt)
+            p = [F.softmax(z, dim=1) for z in (lc, l1, l2)]
+            p_mix = torch.clamp((p[0] + p[1] + p[2]) / 3., 1e-7, 1).log()
+            loss = loss + 12. * (
+                F.kl_div(p_mix, p[0], reduction="batchmean")
+                + F.kl_div(p_mix, p[1], reduction="batchmean")
+                + F.kl_div(p_mix, p[2], reduction="batchmean")) / 3.
+        else:
+            xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+            loss = F.cross_entropy(t(xt), yt)
         opt.zero_grad()
         loss.backward()
         opt.step()
