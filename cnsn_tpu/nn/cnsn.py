@@ -184,25 +184,24 @@ class CNSN(nn.Module):
 
             eps_cn = 1e-5
             n, h, w, c = x.shape
+            ct = jnp.promote_types(x.dtype, jnp.float32)
             key = self.make_rng("crossnorm")
             k_perm, k_style, _, _ = jax.random.split(key, 4)
             perm = grouped_permutation(k_perm, n, self.num_groups)
 
-            c_mean, c_std = instance_mean_std(x, eps=eps_cn,
-                                              out_dtype=jnp.float32)
+            c_mean, c_std = instance_mean_std(x, eps=eps_cn, out_dtype=ct)
             if self.crop == "style":
                 sh1, sh2, sw1, sw2 = sample_bbox(k_style, h, w,
                                                  beta=self.beta)
                 smask = region_mask(h, w, sh1, sh2, sw1, sw2)
                 s_mean_all, s_std_all = masked_instance_mean_std(
-                    x, smask, eps=eps_cn, out_dtype=jnp.float32)
+                    x, smask, eps=eps_cn, out_dtype=ct)
             else:
                 s_mean_all, s_std_all = c_mean, c_std
-            s_mean = jnp.take(s_mean_all, perm, axis=0).astype(jnp.float32)
-            s_std = jnp.take(s_std_all, perm, axis=0).astype(jnp.float32)
+            s_mean = jnp.take(s_mean_all, perm, axis=0)
+            s_std = jnp.take(s_std_all, perm, axis=0)
 
-            cm = c_mean.astype(jnp.float32)
-            cs = c_std.astype(jnp.float32)
+            cm, cs = c_mean, c_std
             scale = jnp.where(active, s_std / cs, 1.0)
             shift = jnp.where(active, s_mean - cm * (s_std / cs), 0.0)
 
@@ -213,9 +212,9 @@ class CNSN(nn.Module):
             var_x = jnp.maximum(cs * cs - eps_cn, 0.0)
             sn_std = jnp.sqrt(var_x * (scale * scale) + sn.eps).reshape(n, c)
             g = sn(x, use_running_average, stats=(sn_mean, sn_std),
-                   gate_only=True).astype(jnp.float32)
+                   gate_only=True).astype(ct)
 
-            out = x.astype(jnp.float32) * (scale * g) + shift * g
+            out = x.astype(ct) * (scale * g) + shift * g
             return out.astype(x.dtype)
 
         if "cn" in self.cnsn_type:

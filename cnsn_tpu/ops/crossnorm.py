@@ -178,8 +178,9 @@ def cross_norm_fma(
         cmask = None
         c_mean, c_std = instance_mean_std(x, eps=eps)
 
-    scale = (s_std / c_std).astype(jnp.float32)
-    shift = (s_mean - c_mean * scale).astype(jnp.float32)
+    ct = jnp.promote_types(x.dtype, jnp.float32)
+    scale = (s_std / c_std).astype(ct)
+    shift = (s_mean - c_mean * scale).astype(ct)
     if lam is not None:
         scale = lam + (1.0 - lam) * scale
         shift = (1.0 - lam) * shift
@@ -187,7 +188,7 @@ def cross_norm_fma(
     zero = jnp.zeros_like(shift)
     scale = jnp.where(active, scale, one)
     shift = jnp.where(active, shift, zero)
-    out = x.astype(jnp.float32) * scale + shift
+    out = x.astype(ct) * scale + shift
     if cmask is not None:
-        out = jnp.where(cmask, out, x.astype(jnp.float32))
+        out = jnp.where(cmask, out, x.astype(ct))
     return out.astype(x.dtype)
