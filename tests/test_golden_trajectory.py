@@ -49,7 +49,10 @@ CONFIGS = {
     "cn": (3, 16, 32, 10, 0.1, 5e-4, 24),        # WRN, crop=both
     "cn_style": (3, 16, 32, 10, 0.1, 5e-4, 24),  # WRN, fused, crop=style
     "cn_image": (3, 8, 64, 1000, 0.1, 1e-4, 16),  # R50 flagship regime
+    "cn_consist": (3, 16, 32, 10, 0.1, 5e-4, 24),  # WRN, clean CE + JSD
 }
+
+CONSIST_WT = 10.0  # nonzero so a JSD-path error dominates the loss
 
 # Pinned draws for the CN-active trajectories: both frameworks sample
 # the instance pairing, the active-site subset, and the crop boxes at
@@ -71,6 +74,12 @@ def _run_lockstep(which):
     env = dict(os.environ)
     env.update(JAX_ENABLE_X64="1", CNSN_BN_VAR="two",
                CNSN_STATS_VAR="two", JAX_PLATFORMS="cpu")
+    if which == "cn_consist":
+        # crop='neither' through the unfused cond path: CrossNorm is
+        # then torch's exact expression order, keeping this regime at
+        # the strict floor so the tolerances bite on the JSD/consist
+        # machinery itself (fused/fma equivalence: test_cnsn_fused.py).
+        env.update(CNSN_FUSE="0", CNSN_CN_IMPL="cond")
     r = subprocess.run([sys.executable, os.path.abspath(__file__), which],
                        capture_output=True, text=True, timeout=1500, env=env)
     line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
@@ -143,6 +152,14 @@ def test_golden_trajectory_cn_image_flagship():
     (crop=neither) on the input batch + in-network SelfNorm ResNet-50,
     pinned pairing; multi-step through the SGD/cosine trajectory."""
     _assert_tracks(_run_lockstep("cn_image"))
+
+
+def test_golden_trajectory_cn_consistency():
+    """The CN-consistency regime vs torch (cifar.py:148-208
+    train_cn_consistency with the gate forced on): clean-CE + two aug
+    forwards + consist_wt*JSD (clamped-mixture KL), BN running stats
+    updated clean->aug1->aug2 — multi-step through SGD/cosine."""
+    _assert_tracks(_run_lockstep("cn_consist"))
 
 
 def test_golden_trajectory_segmentation():
@@ -228,7 +245,8 @@ def _driver(which):
 
     steps_n, batch, size, classes, lr, wd, total = CONFIGS[which]
 
-    wrn_like = which in ("wideresnet", "augmix", "cn", "cn_style")
+    wrn_like = which in ("wideresnet", "augmix", "cn", "cn_style",
+                         "cn_consist")
     crop = {"cn": "both", "cn_style": "style"}.get(which, "neither")
 
     torch.manual_seed(0)
@@ -248,7 +266,7 @@ def _driver(which):
                             beta=1.0, crop="neither", cnsn_type="sn")
     t = t.double()
 
-    if which in ("cn", "cn_style", "cn_image"):
+    if which in ("cn", "cn_style", "cn_image", "cn_consist"):
         _pin_cn_randomness(size, crop)
 
     rng = np.random.RandomState(3)
@@ -275,9 +293,11 @@ def _driver(which):
     # re-create the optimizer state at f64 so momentum accumulates in f64
     state = state.replace(params=params, batch_stats=stats,
                           opt_state=tx.init(params))
-    sfns = StepFns(f, active_num=2, image_crop="neither", image_beta=1.0)
+    sfns = StepFns(f, active_num=2, image_crop="neither", image_beta=1.0,
+                   consist_wt=CONSIST_WT)
     step_fn = {"augmix": sfns.augmix, "cn": sfns.cn, "cn_style": sfns.cn,
-               "cn_image": sfns.cn_image}.get(which, sfns.plain)
+               "cn_image": sfns.cn_image,
+               "cn_consist": sfns.cn_consistency}.get(which, sfns.plain)
     f_losses = []
     for i, (x, y) in enumerate(batches):
         state, metrics = step_fn(state, jnp.asarray(x),
@@ -317,6 +337,25 @@ def _driver(which):
                 t.cn_modules[i].active = True
             xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
             loss = F.cross_entropy(t(xt), yt)
+        elif which == "cn_consist":
+            # train_cn_consistency with the gate forced on
+            # (cifar.py:163-187): CE on the clean forward only, JSD over
+            # (clean, aug1, aug2); sites re-armed before EACH aug
+            # forward (CrossNorm.forward self-resets .active).
+            xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+            logits_clean = t(xt)
+            loss = F.cross_entropy(logits_clean, yt)
+            augs = []
+            for _ in range(2):
+                for i in CN_SITES:
+                    t.cn_modules[i].active = True
+                augs.append(t(xt))
+            p = [F.softmax(z, dim=1) for z in (logits_clean, *augs)]
+            p_mix = torch.clamp((p[0] + p[1] + p[2]) / 3., 1e-7, 1).log()
+            loss = loss + CONSIST_WT * (
+                F.kl_div(p_mix, p[0], reduction="batchmean")
+                + F.kl_div(p_mix, p[1], reduction="batchmean")
+                + F.kl_div(p_mix, p[2], reduction="batchmean")) / 3.
         elif which == "cn_image":
             # train_cn_image with the gate forced on (imagenet.py:214-215)
             import models.cnsn as ref_cnsn
