@@ -50,6 +50,8 @@ CONFIGS = {
     "cn_style": (3, 16, 32, 10, 0.1, 5e-4, 24),  # WRN, fused, crop=style
     "cn_image": (3, 8, 64, 1000, 0.1, 1e-4, 16),  # R50 flagship regime
     "cn_consist": (3, 16, 32, 10, 0.1, 5e-4, 24),  # WRN, clean CE + JSD
+    # AugMix + CN consistency (the paper's headline CIFAR recipe)
+    "augmix_cn": (3, 8, 32, 10, 0.1, 5e-4, 24),
 }
 
 CONSIST_WT = 10.0  # nonzero so a JSD-path error dominates the loss
@@ -74,7 +76,7 @@ def _run_lockstep(which):
     env = dict(os.environ)
     env.update(JAX_ENABLE_X64="1", CNSN_BN_VAR="two",
                CNSN_STATS_VAR="two", JAX_PLATFORMS="cpu")
-    if which == "cn_consist":
+    if which in ("cn_consist", "augmix_cn"):
         # crop='neither' through the unfused cond path: CrossNorm is
         # then torch's exact expression order, keeping this regime at
         # the strict floor so the tolerances bite on the JSD/consist
@@ -162,6 +164,15 @@ def test_golden_trajectory_cn_consistency():
     _assert_tracks(_run_lockstep("cn_consist"))
 
 
+def test_golden_trajectory_augmix_cn():
+    """The full CNSN AugMix regime vs torch (cifar.py:211-272
+    train_cn_augmix with the gate forced on): 3-view concat forward +
+    CE + 12*JSD, then two CN-aug forwards on the CLEAN view and
+    consist_wt*JSD against the concat-forward p_clean — the reference's
+    headline CIFAR recipe, multi-step through SGD/cosine."""
+    _assert_tracks(_run_lockstep("augmix_cn"))
+
+
 def test_golden_trajectory_segmentation():
     """Seg training dynamics vs torch: SGD momentum 0.9 + coupled wd
     (NO nesterov), per-iteration post-step poly LR with 10x head groups
@@ -246,7 +257,7 @@ def _driver(which):
     steps_n, batch, size, classes, lr, wd, total = CONFIGS[which]
 
     wrn_like = which in ("wideresnet", "augmix", "cn", "cn_style",
-                         "cn_consist")
+                         "cn_consist", "augmix_cn")
     crop = {"cn": "both", "cn_style": "style"}.get(which, "neither")
 
     torch.manual_seed(0)
@@ -266,19 +277,19 @@ def _driver(which):
                             beta=1.0, crop="neither", cnsn_type="sn")
     t = t.double()
 
-    if which in ("cn", "cn_style", "cn_image", "cn_consist"):
+    if which in ("cn", "cn_style", "cn_image", "cn_consist", "augmix_cn"):
         _pin_cn_randomness(size, crop)
 
     rng = np.random.RandomState(3)
-    xshape = ((3, batch, size, size, 3) if which == "augmix"
+    three_view = which in ("augmix", "augmix_cn")
+    xshape = ((3, batch, size, size, 3) if three_view
               else (batch, size, size, 3))
     batches = [(rng.randn(*xshape),
                 rng.randint(0, classes, batch).astype(np.int64))
                for _ in range(steps_n)]
 
     # ----- jax side first (imports the torch init before it mutates)
-    x0 = jnp.asarray(batches[0][0][0] if which == "augmix"
-                     else batches[0][0])
+    x0 = jnp.asarray(batches[0][0][0] if three_view else batches[0][0])
     variables = f.init({"params": jax.random.key(0)}, x0, False, None)
     params, stats, missing = convert_state_dict(
         t.state_dict(), dict(variables["params"]),
@@ -297,7 +308,8 @@ def _driver(which):
                    consist_wt=CONSIST_WT)
     step_fn = {"augmix": sfns.augmix, "cn": sfns.cn, "cn_style": sfns.cn,
                "cn_image": sfns.cn_image,
-               "cn_consist": sfns.cn_consistency}.get(which, sfns.plain)
+               "cn_consist": sfns.cn_consistency,
+               "augmix_cn": sfns.augmix_cn}.get(which, sfns.plain)
     f_losses = []
     for i, (x, y) in enumerate(batches):
         state, metrics = step_fn(state, jnp.asarray(x),
@@ -328,6 +340,33 @@ def _driver(which):
                 F.kl_div(p_mix, p[0], reduction="batchmean")
                 + F.kl_div(p_mix, p[1], reduction="batchmean")
                 + F.kl_div(p_mix, p[2], reduction="batchmean")) / 3.
+        elif which == "augmix_cn":
+            # train_cn_augmix with the gate forced on (cifar.py:219-261):
+            # 3B concat forward, CE + 12*JSD, then two armed CN forwards
+            # on the CLEAN view; cn-JSD mixes with the concat p_clean.
+            xt = torch.from_numpy(
+                x.reshape(-1, size, size, 3).transpose(0, 3, 1, 2))
+            logits_all = t(xt)
+            lc, l1, l2 = torch.split(logits_all, batch)
+            loss = F.cross_entropy(lc, yt)
+            p = [F.softmax(z, dim=1) for z in (lc, l1, l2)]
+            p_mix = torch.clamp((p[0] + p[1] + p[2]) / 3., 1e-7, 1).log()
+            loss = loss + 12. * (
+                F.kl_div(p_mix, p[0], reduction="batchmean")
+                + F.kl_div(p_mix, p[1], reduction="batchmean")
+                + F.kl_div(p_mix, p[2], reduction="batchmean")) / 3.
+            x_clean = torch.from_numpy(x[0].transpose(0, 3, 1, 2))
+            pcn = [p[0]]
+            for _ in range(2):
+                for i in CN_SITES:
+                    t.cn_modules[i].active = True
+                pcn.append(F.softmax(t(x_clean), dim=1))
+            cn_mix = torch.clamp(
+                (pcn[0] + pcn[1] + pcn[2]) / 3., 1e-7, 1).log()
+            loss = loss + CONSIST_WT * (
+                F.kl_div(cn_mix, pcn[0], reduction="batchmean")
+                + F.kl_div(cn_mix, pcn[1], reduction="batchmean")
+                + F.kl_div(cn_mix, pcn[2], reduction="batchmean")) / 3.
         elif which in ("cn", "cn_style"):
             # train_cn with the Bernoulli gate forced on
             # (cifar.py:127-131): pinned active sites instead of
