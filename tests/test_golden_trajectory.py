@@ -52,6 +52,8 @@ CONFIGS = {
     "cn_consist": (3, 16, 32, 10, 0.1, 5e-4, 24),  # WRN, clean CE + JSD
     # AugMix + CN consistency (the paper's headline CIFAR recipe)
     "augmix_cn": (3, 8, 32, 10, 0.1, 5e-4, 24),
+    # ImageNet AugMix regime: image-space CN over the whole 3B concat
+    "cn_image_augmix": (3, 4, 64, 1000, 0.1, 1e-4, 16),
 }
 
 CONSIST_WT = 10.0  # nonzero so a JSD-path error dominates the loss
@@ -162,6 +164,14 @@ def test_golden_trajectory_cn_consistency():
     forwards + consist_wt*JSD (clamped-mixture KL), BN running stats
     updated clean->aug1->aug2 — multi-step through SGD/cosine."""
     _assert_tracks(_run_lockstep("cn_consist"))
+
+
+def test_golden_trajectory_cn_image_augmix():
+    """The ImageNet AugMix regime vs torch (imagenet.py:337-406
+    train_cn_image_augmix with the gate forced on): image-space CN
+    applied to the whole 3B concat — instances pair ACROSS views
+    (imagenet.py:357-358) — then CE on the clean split + 12*JSD."""
+    _assert_tracks(_run_lockstep("cn_image_augmix"))
 
 
 def test_golden_trajectory_augmix_cn():
@@ -277,11 +287,12 @@ def _driver(which):
                             beta=1.0, crop="neither", cnsn_type="sn")
     t = t.double()
 
-    if which in ("cn", "cn_style", "cn_image", "cn_consist", "augmix_cn"):
+    if which in ("cn", "cn_style", "cn_image", "cn_consist", "augmix_cn",
+                 "cn_image_augmix"):
         _pin_cn_randomness(size, crop)
 
     rng = np.random.RandomState(3)
-    three_view = which in ("augmix", "augmix_cn")
+    three_view = which in ("augmix", "augmix_cn", "cn_image_augmix")
     xshape = ((3, batch, size, size, 3) if three_view
               else (batch, size, size, 3))
     batches = [(rng.randn(*xshape),
@@ -309,7 +320,8 @@ def _driver(which):
     step_fn = {"augmix": sfns.augmix, "cn": sfns.cn, "cn_style": sfns.cn,
                "cn_image": sfns.cn_image,
                "cn_consist": sfns.cn_consistency,
-               "augmix_cn": sfns.augmix_cn}.get(which, sfns.plain)
+               "augmix_cn": sfns.augmix_cn,
+               "cn_image_augmix": sfns.cn_image_augmix}.get(which, sfns.plain)
     f_losses = []
     for i, (x, y) in enumerate(batches):
         state, metrics = step_fn(state, jnp.asarray(x),
@@ -392,6 +404,22 @@ def _driver(which):
             p = [F.softmax(z, dim=1) for z in (logits_clean, *augs)]
             p_mix = torch.clamp((p[0] + p[1] + p[2]) / 3., 1e-7, 1).log()
             loss = loss + CONSIST_WT * (
+                F.kl_div(p_mix, p[0], reduction="batchmean")
+                + F.kl_div(p_mix, p[1], reduction="batchmean")
+                + F.kl_div(p_mix, p[2], reduction="batchmean")) / 3.
+        elif which == "cn_image_augmix":
+            # train_cn_image_augmix with the gate forced on
+            # (imagenet.py:355-377): CN over the 3B concat, CE on the
+            # clean split + 12*JSD.
+            import models.cnsn as ref_cnsn
+            xt = torch.from_numpy(
+                x.reshape(-1, size, size, 3).transpose(0, 3, 1, 2))
+            xt = ref_cnsn.cn_op_2ins_space_chan(xt, crop="neither", beta=1)
+            lc, l1, l2 = torch.split(t(xt), batch)
+            loss = F.cross_entropy(lc, yt)
+            p = [F.softmax(z, dim=1) for z in (lc, l1, l2)]
+            p_mix = torch.clamp((p[0] + p[1] + p[2]) / 3., 1e-7, 1).log()
+            loss = loss + 12. * (
                 F.kl_div(p_mix, p[0], reduction="batchmean")
                 + F.kl_div(p_mix, p[1], reduction="batchmean")
                 + F.kl_div(p_mix, p[2], reduction="batchmean")) / 3.
