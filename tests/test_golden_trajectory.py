@@ -54,6 +54,9 @@ CONFIGS = {
     "augmix_cn": (3, 8, 32, 10, 0.1, 5e-4, 24),
     # ImageNet AugMix regime: image-space CN over the whole 3B concat
     "cn_image_augmix": (3, 4, 64, 1000, 0.1, 1e-4, 16),
+    # ResNet-50-IBN-b under image-space CN (the AugMix recipe's model,
+    # imagenet-scripts/run-cnsn-augmix.sh: model=resnet50_ibn_b)
+    "ibn_image": (3, 8, 64, 1000, 0.1, 1e-4, 16),
 }
 
 CONSIST_WT = 10.0  # nonzero so a JSD-path error dominates the loss
@@ -74,10 +77,11 @@ def _pinned_boxes(size):
             (s // 5, s - s // 6, s // 10, s - s // 3)]
 
 
-def _run_lockstep(which):
+def _run_lockstep(which, extra_env=None):
     env = dict(os.environ)
     env.update(JAX_ENABLE_X64="1", CNSN_BN_VAR="two",
                CNSN_STATS_VAR="two", JAX_PLATFORMS="cpu")
+    env.update(extra_env or {})
     if which in ("cn_consist", "augmix_cn"):
         # crop='neither' through the unfused cond path: CrossNorm is
         # then torch's exact expression order, keeping this regime at
@@ -91,17 +95,34 @@ def _run_lockstep(which):
     return json.loads(line)
 
 
-def _assert_tracks(rec, tols=(1e-9, 1e-6, 1e-5)):
+def _assert_tracks(rec, tols=(1e-9, 1e-6, 1e-5, 1e-5)):
     """Graded per-step tolerances: the f64 lockstep noise floor is
     ~1e-13 at step 0 and amplifies ~1e3x/step through ReLU-boundary
     flips (measured); a semantic error in the update — wrong wd
     coupling, nesterov form, or LR value — injects >=1e-4 at step 1.
     Three steps cover: forward, first update (nesterov init + wd +
-    lr(0)), momentum accumulation + lr(1), and the resulting forwards."""
+    lr(0)), momentum accumulation + lr(1), and the resulting forwards.
+    A 4th entry, when present, is the post-training EVAL-mode loss:
+    train losses normalize by batch stats and are blind to the
+    running-stat updates, so this is what pins BN momentum/unbiased-var
+    accumulation (and SelfNorm's BN1d state) across steps.
+
+    Errors are normalized by max(1, |loss|): identity for the O(1)
+    train losses, relative for the eval entry (3-step-old running
+    stats on noise inputs give O(1e4) eval losses).
+
+    When ``tols`` is SHORTER than the loss arrays, the surplus entries
+    are ignored: the crop'd CN regimes pass 3 train tols only, because
+    their eval loss is a small difference of ~1e6-scale logits — after
+    the documented chaotic amplification of the masked-reduction floor
+    it carries no signal (measured 0.32 relative for a pure
+    reduction-order difference); the running-stat machinery those
+    entries pin is identical code, held to 1e-5 by the seven
+    strict-floor regimes."""
     t, f = np.asarray(rec["torch"]), np.asarray(rec["jax"])
-    err = np.abs(t - f)
-    tols = np.asarray(tols)[:len(err)]
-    assert (err < tols).all(), (rec, err)
+    err = np.abs(t - f) / np.maximum(1.0, np.abs(t))
+    n = min(len(err), len(tols))
+    assert (err[:n] < np.asarray(tols)[:n]).all(), (rec, err)
 
 
 # The masked-crop regimes carry a higher (still pure-rounding) floor:
@@ -113,7 +134,8 @@ def _assert_tracks(rec, tols=(1e-9, 1e-6, 1e-5)):
 # has NO masked reduction and sits at the strict 1e-13 floor — pinning
 # the gap to reduction order, not semantics.  A real semantic error
 # (wrong eps placement, ddof, box convention, gate algebra) injects
-# >=1e-4 at step 0: 4+ orders above these tolerances.
+# >=1e-4 at step 0: 4+ orders above these tolerances.  3 entries: the
+# eval-mode 4th entry is excluded here (see _assert_tracks).
 CN_CROP_TOLS = (1e-7, 1e-4, 1e-1)
 
 
@@ -183,12 +205,57 @@ def test_golden_trajectory_augmix_cn():
     _assert_tracks(_run_lockstep("augmix_cn"))
 
 
+def test_trajectory_harness_detects_semantic_drift():
+    """Mutation check on the harness itself: re-run the WRN lockstep
+    with the jax side's nesterov DISABLED (plain heavy-ball momentum —
+    a classic silent optimizer drift; the reference trains with
+    nesterov=True, cifar.py:399-413).  The forward at step 0 must still
+    match (the sabotage only changes the update rule), and the step-1
+    loss must blow through the 1e-6 tolerance by >=2 orders — evidence
+    the graded tolerances actually catch update-rule errors rather
+    than passing anything."""
+    rec = _run_lockstep("wideresnet",
+                        extra_env={"CNSN_TRAJ_SABOTAGE": "nesterov"})
+    t, f = np.asarray(rec["torch"]), np.asarray(rec["jax"])
+    err = np.abs(t - f) / np.maximum(1.0, np.abs(t))
+    assert err[0] < 1e-9, rec          # forward semantics untouched
+    assert (err[1:3] > 1e-4).all(), rec  # update drift detected
+
+
+def test_golden_trajectory_ibn_b():
+    """ResNet-50-IBN-b training dynamics vs torch under image-space CN
+    (the run-cnsn-augmix.sh model, imagenet.py:195-250 regime): the IBN
+    split (half-IN/half-BN after conv1, resnet_ibn_cnsn.py:24-44), the
+    post-add InstanceNorm of the 'b' variant (:122-123), in-network
+    SelfNorm, and the BN/IN running-stat split — multi-step through
+    SGD/cosine.  Golden forwards (test_golden.py) can't see a wrong
+    IN gradient path or a stat update leaking into the IN layers."""
+    _assert_tracks(_run_lockstep("ibn_image"))
+
+
 def test_golden_trajectory_segmentation():
     """Seg training dynamics vs torch: SGD momentum 0.9 + coupled wd
     (NO nesterov), per-iteration post-step poly LR with 10x head groups
     (train_cnsn.py:319-349, util.py:102-105), BN running stats, dual
     FCN heads with aux_weight 0.4, ignore-masked CE."""
     _assert_tracks(_run_lockstep("segmentation"))
+
+
+def test_golden_trajectory_segmentation_cn():
+    """The shipped GTAV CNSN recipe's CrossNorm machinery across
+    training steps (gtav_fcn50_cnsn.yaml: cnsn_type=cnsn, pos=residual,
+    cn_pos=post, crop=style, train_cnsn.py:305-311 external arm):
+    decoupled real_cn sites at 'post' with style-crop stat transfer on
+    OS8 dilated feature maps, pinned pairing/box/sites on both sides;
+    SGD + poly LR + dual heads as in the plain seg trajectory.
+
+    Tolerances: the masked style-crop reduction floor measures 9e-10
+    at step 0 and amplifies faster than the WRN crop regimes (16 sites
+    × deeper trunk: ~3e-5 at step 1, ~3e-4 at step 2); unlike the
+    lr-0.1 classification crop regimes the lr-0.01 seg trajectory
+    stays well-conditioned, so the eval entry DOES bite here
+    (measured 5e-5)."""
+    _assert_tracks(_run_lockstep("seg_cn"), (1e-7, 1e-3, 1e-1, 1e-2))
 
 
 # ---------------------------------------------------------------------------
@@ -244,8 +311,8 @@ def _pin_cn_randomness(size, crop):
 
 
 def _driver(which):
-    if which == "segmentation":
-        return _driver_seg()
+    if which in ("segmentation", "seg_cn"):
+        return _driver_seg(cn=which == "seg_cn")
     import contextlib
     import io
     import types
@@ -278,6 +345,20 @@ def _driver(which):
                          beta=1.0, crop=crop, cnsn_type="cnsn")
             f = build_model("wideresnet", num_classes=classes, pos="post",
                             beta=1.0, crop=crop, cnsn_type="cnsn")
+        elif which == "ibn_image":
+            from models.imagenet.resnet_ibn_cnsn import (
+                resnet50_ibn_b as torch_ibn_b)
+            cfg = types.SimpleNamespace(active_num=1, pos="residual",
+                                        beta=1.0, crop="neither",
+                                        cnsn_type="sn")
+            t = torch_ibn_b(cfg)
+            # the reference head hard-codes AvgPool2d(7) (224² inputs,
+            # resnet_ibn_cnsn.py); the adaptive pool is the identical
+            # global mean at any size, keeping the f64 lockstep at 64²
+            t.avgpool = torch.nn.AdaptiveAvgPool2d(1)
+            f = build_model("resnet50_ibn_b", num_classes=classes,
+                            pos="residual", beta=1.0, crop="neither",
+                            cnsn_type="sn")
         else:
             from models.imagenet.resnet_cnsn import resnet50 as torch_r50
             cfg = types.SimpleNamespace(active_num=1, pos="post", beta=1.0,
@@ -288,7 +369,7 @@ def _driver(which):
     t = t.double()
 
     if which in ("cn", "cn_style", "cn_image", "cn_consist", "augmix_cn",
-                 "cn_image_augmix"):
+                 "cn_image_augmix", "ibn_image"):
         _pin_cn_randomness(size, crop)
 
     rng = np.random.RandomState(3)
@@ -310,7 +391,11 @@ def _driver(which):
         lambda a: jnp.asarray(np.asarray(a), jnp.float64), tree)
     params, stats = as64(params), as64(stats)
 
-    tx = make_sgd(cosine_lr(lr, total), weight_decay=wd, nesterov=True)
+    # CNSN_TRAJ_SABOTAGE=nesterov: deliberate update-rule drift used by
+    # the harness mutation check (plain momentum instead of nesterov)
+    sabotage = os.environ.get("CNSN_TRAJ_SABOTAGE")
+    tx = make_sgd(cosine_lr(lr, total), weight_decay=wd,
+                  nesterov=sabotage != "nesterov")
     state = create_train_state(f, jax.random.key(0), x0.shape, tx)
     # re-create the optimizer state at f64 so momentum accumulates in f64
     state = state.replace(params=params, batch_stats=stats,
@@ -318,7 +403,7 @@ def _driver(which):
     sfns = StepFns(f, active_num=2, image_crop="neither", image_beta=1.0,
                    consist_wt=CONSIST_WT)
     step_fn = {"augmix": sfns.augmix, "cn": sfns.cn, "cn_style": sfns.cn,
-               "cn_image": sfns.cn_image,
+               "cn_image": sfns.cn_image, "ibn_image": sfns.cn_image,
                "cn_consist": sfns.cn_consistency,
                "augmix_cn": sfns.augmix_cn,
                "cn_image_augmix": sfns.cn_image_augmix}.get(which, sfns.plain)
@@ -327,6 +412,13 @@ def _driver(which):
         state, metrics = step_fn(state, jnp.asarray(x),
                                  jnp.asarray(y), jax.random.key(i))
         f_losses.append(float(metrics["loss"]))
+    # eval-mode forward on the step-0 clean batch: exercises the
+    # ACCUMULATED running stats (BN momentum 0.1, unbiased running var,
+    # SelfNorm's BN1d state) that the train losses never read
+    x0e, y0e = batches[0]
+    em = sfns.eval_step(state, jnp.asarray(x0e[0] if three_view else x0e),
+                        jnp.asarray(y0e))
+    f_losses.append(float(em["loss"]))
 
     # ----- torch side (reference loops: plain cifar.py:399-413 + 87-90,
     # augmix JSD cifar.py:219-246 with the cn gate off)
@@ -423,7 +515,7 @@ def _driver(which):
                 F.kl_div(p_mix, p[0], reduction="batchmean")
                 + F.kl_div(p_mix, p[1], reduction="batchmean")
                 + F.kl_div(p_mix, p[2], reduction="batchmean")) / 3.
-        elif which == "cn_image":
+        elif which in ("cn_image", "ibn_image"):
             # train_cn_image with the gate forced on (imagenet.py:214-215)
             import models.cnsn as ref_cnsn
             xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
@@ -438,15 +530,29 @@ def _driver(which):
         sched.step()
         t_losses.append(loss.item())
 
+    t.eval()
+    with torch.no_grad():
+        x0e, y0e = batches[0]
+        xe = torch.from_numpy(
+            (x0e[0] if three_view else x0e).transpose(0, 3, 1, 2))
+        t_losses.append(
+            F.cross_entropy(t(xe), torch.from_numpy(y0e)).item())
+
     print(json.dumps({"torch": t_losses, "jax": f_losses}))
 
 
-def _driver_seg():
+def _driver_seg(cn=False):
     """f64 lockstep for the segmentation world (reference
     segmentation/tool/train_cnsn.py:300-380): dilated SN trunk + dual
     FCN heads (dropout 0 for determinism), loss = CE + 0.4*CE_aux with
     ignore_index 255, SGD(momentum=0.9, wd=1e-4) with the reference's
-    post-step poly LR assignment and 10x head groups."""
+    post-step poly LR assignment and 10x head groups.
+
+    ``cn=True`` switches the trunk to the shipped GTAV CNSN recipe
+    (cnsn_type=cnsn, cn_pos=post, crop=style): 16 decoupled ``real_cn``
+    CrossNorm sites (cnsn_resnet.py:263,310) armed externally per step
+    (train_cnsn.py:305-311), with pairing permutation, style box, and
+    active sites pinned to the same values on both sides."""
     import contextlib
     import io
 
@@ -467,14 +573,41 @@ def _driver_seg():
     steps_n, batch, size, classes = 3, 4, 65, 19
     base_lr, wd, max_iter, aux_w = 0.01, 1e-4, 20, 0.4
 
+    cnsn_type = "cnsn" if cn else "sn"
+    cn_pos = "post" if cn else None
+    crop = "style" if cn else "neither"
+
     torch.manual_seed(0)
     with contextlib.redirect_stdout(io.StringIO()):
         import model.cnsn_resnet as cnsn_resnet
         trunk = cnsn_resnet.resnet50(
             pretrained=False, SN=True,
             replace_stride_with_dilation=[False, True, True],
-            pos="residual", cn_pos=None, beta=1.0, block_idxs="1_2_3_4",
-            crop="neither", cnsn_type="sn", active_num=1)
+            pos="residual", cn_pos=cn_pos, beta=1.0, block_idxs="1_2_3_4",
+            crop=crop, cnsn_type=cnsn_type, active_num=1)
+
+    if cn:
+        # pin the CN draws on both sides (the seg reference samples
+        # sites via _enable_cross_norm's np.random.choice and the
+        # box/perm inside the symlinked model/cnsn.py)
+        import model.cnsn as seg_ref_cnsn
+        import jax.numpy as _jnp
+        from cnsn_tpu.ops import bbox as bbox_mod
+        from cnsn_tpu.ops import crossnorm as cn_mod
+
+        perm = lambda n: (np.arange(n) + 1) % n
+        cn_mod.grouped_permutation = (
+            lambda key, n, num_groups=1: _jnp.asarray(perm(n)))
+        torch.randperm = lambda n, **kw: torch.from_numpy(perm(n))
+        # one style box, valid on every OS8 feature scale (17² and 9²
+        # for 65² inputs); crop='style' samples exactly one box per op
+        box = (1, 9, 0, 8)
+        bbox_mod.sample_bbox = lambda key, h, w, **kw: box
+        cn_mod.sample_bbox = bbox_mod.sample_bbox
+        # reference returns (bbx1, bby1, bbx2, bby2) slicing NCHW dims
+        # 2/3 (models/cnsn.py:64-66)
+        seg_ref_cnsn.cn_rand_bbox = (
+            lambda sz, beta, bbx_thres: (box[0], box[2], box[1], box[3]))
 
     def head(cin):
         torch.manual_seed(cin)
@@ -490,7 +623,12 @@ def _driver_seg():
         m.double().train()
 
     f = fcn_cnsn(classes=classes, block_idxs="1_2_3_4", pos="residual",
-                 cn_pos=None, cnsn_type="sn", crop="neither", dropout=0.0)
+                 cn_pos=cn_pos, cnsn_type=cnsn_type, crop=crop, dropout=0.0)
+    cn_mask = None
+    if cn:
+        import jax.numpy as _jnp2
+        cn_mask = _jnp2.zeros((f.cn_num,), bool).at[
+            np.asarray(CN_SITES)].set(True)
 
     rng = np.random.RandomState(5)
     batches = []
@@ -534,8 +672,9 @@ def _driver_seg():
 
     def loss_fn(params, stats, x, y):
         (out, aux), mut = f.apply(
-            {"params": params, "batch_stats": stats}, x, True, None, None,
-            rngs={"dropout": jax.random.key(0)},
+            {"params": params, "batch_stats": stats}, x, True, cn_mask, None,
+            rngs={"dropout": jax.random.key(0),
+                  "crossnorm": jax.random.key(1)},
             mutable=["batch_stats"], upsample=False)
         return ce(out, y) + aux_w * ce(aux, y), mut["batch_stats"]
 
@@ -547,6 +686,13 @@ def _driver_seg():
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         f_losses.append(float(loss))
+    # eval-mode dual-head loss on batch 0: pins the accumulated BN
+    # running stats through the trunk + both heads
+    x0e, y0e = batches[0]
+    out, aux = f.apply({"params": params, "batch_stats": stats},
+                       jnp.asarray(x0e), False, None, None, upsample=False)
+    f_losses.append(float(ce(out, jnp.asarray(y0e))
+                          + aux_w * ce(aux, jnp.asarray(y0e))))
 
     # ----- torch side (reference loop)
     heads_params = list(t_cls.parameters()) + list(t_aux.parameters())
@@ -556,6 +702,11 @@ def _driver_seg():
         lr=base_lr, momentum=0.9, weight_decay=wd)
     t_losses = []
     for i, (x, y) in enumerate(batches):
+        if cn:
+            # external arm, train_cnsn.py:305-311 with pinned sites
+            # (CrossNorm.forward self-resets .active every forward)
+            for s in CN_SITES:
+                trunk.cn_modules[s].active = True
         xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
         yt = torch.from_numpy(y)
         feats = trunk(xt)
@@ -575,6 +726,19 @@ def _driver_seg():
         opt.param_groups[0]["lr"] = lr_i
         opt.param_groups[1]["lr"] = lr_i * 10.0
         t_losses.append(loss.item())
+
+    for m in (trunk, t_cls, t_aux):
+        m.eval()
+    with torch.no_grad():
+        x0e, y0e = batches[0]
+        xt = torch.from_numpy(x0e.transpose(0, 3, 1, 2))
+        yt = torch.from_numpy(y0e)
+        feats = trunk(xt)
+        t_losses.append(
+            (torch.nn.functional.cross_entropy(
+                 up(t_cls(feats["out"])), yt, ignore_index=255)
+             + aux_w * torch.nn.functional.cross_entropy(
+                 up(t_aux(feats["aux"])), yt, ignore_index=255)).item())
 
     print(json.dumps({"torch": t_losses, "jax": f_losses}))
 
