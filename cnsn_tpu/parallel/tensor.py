@@ -13,18 +13,27 @@ bottleneck:
     extra communication;
   * ``conv2`` (3×3, planes→planes) is **row-sharded** on C_in:
     kernel P(None, None, 'model', None) contracts over the sharded
-    channels and GSPMD inserts the psum; its output is replicated again.
+    channels and GSPMD inserts the psum; its output is replicated again;
+  * ``conv3`` (1×1, planes→C_out) is **column-sharded** again, together
+    with ``bn3`` and the downsample path (conv+bn), so the residual add
+    and the post-add relu/CNSN site run channel-sharded and none of the
+    block's convs is computed redundantly.  GSPMD re-replicates the
+    activation (one all-gather over 'model') before the next block's
+    contraction — an all-gather moves (1-1/n)·bytes vs the ~2·bytes of
+    the psum the row-conv already pays, so sharding conv3 removes its
+    redundant FLOPs for *less* communication than conv2 costs;
+  * ``fc`` is column-sharded on classes (logits all-gather is tiny).
 
-Everything else (conv3, downsample, fc, CNSN sites) stays replicated,
-and the batch stays sharded over 'data' — the same jitted step
-functions run unchanged; GSPMD propagates the shardings and emits the
-ICI collectives (all-reduce for gradients over 'data', psum for the
-row-sharded contractions over 'model').
+Everything else (stem, CNSN parameters) stays replicated, and the
+batch stays sharded over 'data' — the same jitted step functions run
+unchanged; GSPMD propagates the shardings and emits the ICI
+collectives (all-reduce for gradients over 'data', psum/all-gather for
+the sharded contractions over 'model').
 
-This is deliberately the *functional* TP mapping, not a tuned one: it
-demonstrates that the whole train step (CrossNorm gather, SelfNorm
-BN1d, optimizer) composes with a 2-D mesh.  ``dryrun_multichip`` runs
-it on an (n/2, 2) mesh.
+``resnet_tp_rules_minimal`` keeps round 2's conv1/bn1/conv2-only
+mapping for A/Bs (`scripts/tp_hlo_stats.py` compares compiled-HLO
+collective counts and replicated-FLOP fractions of the two).
+``dryrun_multichip`` runs the full mapping on an (n/2, 2) mesh.
 """
 from __future__ import annotations
 
@@ -36,23 +45,42 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import DataParallel
 
-__all__ = ["TensorParallel", "resnet_tp_rules"]
+__all__ = ["TensorParallel", "resnet_tp_rules", "resnet_tp_rules_minimal"]
 
 
 def resnet_tp_rules(path: str, ndim: int) -> Optional[P]:
     """PartitionSpec for one ResNet param/stat leaf, by its tree path.
 
     ``path`` is '/'-joined (e.g. 'layer2_1/conv1/kernel'); returns None
-    for replicated leaves.
+    for replicated leaves.  Full-bottleneck mapping: every conv in the
+    block (and the downsample shortcut) is sharded over 'model'.
     """
     # NB the dot-lowered 1x1 (Conv1x1Dot) deliberately keeps the 4-d
     # (1,1,Cin,Cout) kernel param, so one rule covers both lowerings.
-    if re.search(r"layer\d+_\d+/conv1/kernel$", path) and ndim == 4:
+    if re.search(r"layer\d+_\d+/(conv1|conv3|downsample_conv)/kernel$",
+                 path) and ndim == 4:
         return P(None, None, None, "model")          # column-parallel
-    if re.search(r"layer\d+_\d+/bn1/(scale|bias|mean|var)$", path) and ndim == 1:
+    if re.search(r"layer\d+_\d+/(bn1|bn3|downsample_bn)/"
+                 r"(scale|bias|mean|var)$", path) and ndim == 1:
         return P("model")
     if re.search(r"layer\d+_\d+/conv2/kernel$", path) and ndim == 4:
         return P(None, None, "model", None)          # row-parallel
+    if re.search(r"(^|/)fc/kernel$", path) and ndim == 2:
+        return P(None, "model")                      # classes sharded
+    if re.search(r"(^|/)fc/bias$", path) and ndim == 1:
+        return P("model")
+    return None
+
+
+def resnet_tp_rules_minimal(path: str, ndim: int) -> Optional[P]:
+    """Round 2's conv1/bn1/conv2-only mapping (conv3/downsample/fc
+    replicated) — kept for collective-count A/Bs."""
+    if re.search(r"layer\d+_\d+/conv1/kernel$", path) and ndim == 4:
+        return P(None, None, None, "model")
+    if re.search(r"layer\d+_\d+/bn1/(scale|bias|mean|var)$", path) and ndim == 1:
+        return P("model")
+    if re.search(r"layer\d+_\d+/conv2/kernel$", path) and ndim == 4:
+        return P(None, None, "model", None)
     return None
 
 

@@ -194,6 +194,16 @@ class TestTensorParallel:
         assert spec == jax.sharding.PartitionSpec(None, None, None, "model")
         assert (st.batch_stats["layer2_1"]["bn1"]["mean"].sharding.spec
                 == jax.sharding.PartitionSpec("model"))
+        # full-bottleneck mapping: conv3 + downsample + fc shard too
+        assert (st.params["layer2_1"]["conv3"]["kernel"].sharding.spec
+                == jax.sharding.PartitionSpec(None, None, None, "model"))
+        assert (st.params["layer2_0"]["downsample_conv"]["kernel"]
+                .sharding.spec
+                == jax.sharding.PartitionSpec(None, None, None, "model"))
+        assert (st.params["fc"]["kernel"].sharding.spec
+                == jax.sharding.PartitionSpec(None, "model"))
+        assert (st.batch_stats["layer2_1"]["bn3"]["var"].sharding.spec
+                == jax.sharding.PartitionSpec("model"))
         # momentum mirrors the param sharding via the same path rules
         trace = jax.tree_util.tree_leaves_with_path(st.opt_state)
         s_tp, m_tp = steps.cn(st, *tp.shard_inputs(imgs, lbls),
