@@ -33,6 +33,10 @@ class AllConvNet(nn.Module):
     cnsn_type: str = "cn"
     num_groups: int = 1
     dtype: Any = None  # compute dtype (bf16 fast path); params stay fp32
+    # reference hardcodes Dropout(p=0.5) after each maxpool
+    # (models/cifar/allconv_cnsn.py:29); exposed so deterministic
+    # harnesses (tests/test_convergence.py) can run at 0.0
+    drop_rate: float = 0.5
 
     @property
     def cn_num(self) -> int:
@@ -49,7 +53,7 @@ class AllConvNet(nn.Module):
         for li, v in enumerate(CFG):
             if v == "Md":
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
-                x = nn.Dropout(0.5, deterministic=not train)(x)
+                x = nn.Dropout(self.drop_rate, deterministic=not train)(x)
                 continue
             if v == "A":
                 x = nn.avg_pool(x, (8, 8), strides=(8, 8))

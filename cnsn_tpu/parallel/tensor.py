@@ -107,6 +107,25 @@ class TensorParallel(DataParallel):
             return str(p)
         path = "/".join(part(p) for p in path_parts)
         spec = self.rules(path, getattr(leaf, "ndim", 0))
+        if spec is not None:
+            # Rules don't know the mesh: drop any axis whose dim doesn't
+            # divide the mesh axis size (e.g. fc sharded on classes with
+            # num_classes=10 on a model=4 mesh would fail device_put;
+            # replicating that dim is always correct — ADVICE r3).
+            shape = getattr(leaf, "shape", ())
+
+            def axis_size(ax):
+                names = ax if isinstance(ax, (tuple, list)) else (ax,)
+                n = 1
+                for a in names:
+                    n *= self.mesh.shape[a]
+                return n
+
+            spec = P(*(
+                ax if (ax is None or (d < len(shape) and
+                                      shape[d] % axis_size(ax) == 0))
+                else None
+                for d, ax in enumerate(spec)))
         return NamedSharding(self.mesh, spec if spec is not None else P())
 
     def shard_state(self, state):

@@ -82,6 +82,9 @@ class SegConfig:
     # 'orbax' (async saves, native retention, SIGTERM preemption flush)
     ckpt_backend: str = "msgpack"
     snapshot: bool = True   # code+config snapshot (train_cnsn.sh parity)
+    # mirror scalars into TB event files (reference tensorboardX writer,
+    # train_cnsn.py:165,372-376) alongside the JSONL stream
+    tensorboard: bool = False
     keep_last: int = 2
     batch_size_val: Optional[int] = None  # default: batch_size
     eval_freq: int = 1                    # validate every N epochs
@@ -212,7 +215,8 @@ class SegTrainer:
         if cfg.snapshot:
             from ..utils.provenance import snapshot_experiment
             snapshot_experiment(cfg.save_path, cfg, tee=False)
-        self.writer = MetricWriter(os.path.join(cfg.save_path, "metrics"))
+        self.writer = MetricWriter(os.path.join(cfg.save_path, "metrics"),
+                                   tensorboard=cfg.tensorboard)
         self.ckpt = None
         self._epoch = cfg.start_epoch
         if cfg.ckpt_backend == "orbax":

@@ -8,7 +8,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["CITYSCAPES_CLASSES", "CITYSCAPES_PALETTE", "colorize"]
+__all__ = ["CITYSCAPES_CLASSES", "CITYSCAPES_PALETTE",
+           "GTAV_CLASSES", "GTAV_PALETTE", "class_metadata", "colorize"]
 
 CITYSCAPES_CLASSES = (
     "road", "sidewalk", "building", "wall", "fence", "pole",
@@ -24,6 +25,24 @@ CITYSCAPES_PALETTE = np.array([
     (255, 0, 0), (0, 0, 142), (0, 0, 70), (0, 60, 100), (0, 80, 100),
     (0, 0, 230), (119, 11, 32),
 ], np.uint8)
+
+
+# GTAV ships its own metadata files in the reference
+# (segmentation/data/gtav/gtav_{names,colors}.txt) — byte-identical to
+# the Cityscapes tables because the GTAV labels are mapped to the same
+# 19 trainIds (dataset 'labels_mapped', segmentation/util/dataset.py).
+GTAV_CLASSES = CITYSCAPES_CLASSES
+GTAV_PALETTE = CITYSCAPES_PALETTE
+
+_METADATA = {"cityscapes": (CITYSCAPES_CLASSES, CITYSCAPES_PALETTE),
+             "gtav": (GTAV_CLASSES, GTAV_PALETTE)}
+
+
+def class_metadata(dataset: str):
+    """(names, palette) for a dataset — the reference's per-dataset
+    `data/<ds>/<ds>_{names,colors}.txt` lookup (train_cnsn.py arg
+    colors_path/names_path) as an in-package table."""
+    return _METADATA[dataset.lower()]
 
 
 def colorize(label: np.ndarray, palette: np.ndarray = CITYSCAPES_PALETTE,

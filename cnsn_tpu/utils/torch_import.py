@@ -32,7 +32,7 @@ def _np(t) -> np.ndarray:
 
 
 def _set(tree: Dict[str, Any], path: Tuple[str, ...], value: np.ndarray,
-         strict: bool):
+         strict: bool, dtype=np.float32):
     node = tree
     for p in path[:-1]:
         if p not in node:
@@ -48,7 +48,7 @@ def _set(tree: Dict[str, Any], path: Tuple[str, ...], value: np.ndarray,
     if tuple(node[leaf].shape) != tuple(value.shape):
         raise ValueError(f"shape mismatch at {'/'.join(path)}: "
                          f"{node[leaf].shape} vs {value.shape}")
-    node[leaf] = value.astype(np.float32)
+    node[leaf] = value.astype(dtype)
     return True
 
 
@@ -142,14 +142,17 @@ def convert_state_dict(state_dict: Mapping[str, Any],
                        batch_stats: Dict[str, Any],
                        strict: bool = False,
                        prefix: Tuple[str, ...] = (),
-                       key_map: Mapping[str, str] | None = None):
+                       key_map: Mapping[str, str] | None = None,
+                       dtype=np.float32):
     """Convert + load a torch state_dict into (params, batch_stats)
     copies.  Returns (params, batch_stats, missing_keys).
 
     ``prefix`` roots every translated path under a module (e.g.
     ('backbone',) to load a torchvision resnet into the segmentation
     backbone).  ``key_map`` rewrites dotted key prefixes before the
-    generic translation (model-specific layouts, e.g. allconv_key_map)."""
+    generic translation (model-specific layouts, e.g. allconv_key_map).
+    ``dtype`` is the storage dtype of the loaded leaves (np.float64 for
+    the f64 lockstep harnesses)."""
     import jax
 
     params = jax.tree.map(np.asarray, params)
@@ -172,19 +175,19 @@ def convert_state_dict(state_dict: Mapping[str, Any],
         if kind == "weight":
             if v.ndim == 4:  # conv OIHW → HWIO
                 ok = _set(params, path + ("kernel",),
-                          v.transpose(2, 3, 1, 0), strict)
+                          v.transpose(2, 3, 1, 0), strict, dtype)
             elif v.ndim == 3:  # SelfNorm grouped Conv1d (C,1,2) → (C,2)
                 parent = path[:-1] + (path[-1],)
-                ok = _set(params, parent, v[:, 0, :], strict)
+                ok = _set(params, parent, v[:, 0, :], strict, dtype)
             elif v.ndim == 2:  # linear OI → IO
-                ok = _set(params, path + ("kernel",), v.T, strict)
+                ok = _set(params, path + ("kernel",), v.T, strict, dtype)
             elif v.ndim == 1:  # norm scale
-                ok = _set(params, path + ("scale",), v, strict)
+                ok = _set(params, path + ("scale",), v, strict, dtype)
         elif kind == "bias":
             # linear bias and norm bias share the leaf name "bias"
-            ok = _set(params, path + ("bias",), v, strict)
+            ok = _set(params, path + ("bias",), v, strict, dtype)
         elif kind in ("mean", "var"):
-            ok = _set(batch_stats, path + (kind,), v, strict)
+            ok = _set(batch_stats, path + (kind,), v, strict, dtype)
         if not ok:
             missing.append(key)
 

@@ -39,14 +39,42 @@ import numpy as np
 COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
                "collective-permute", "all-to-all")
 
+DTYPE_BYTES = {"pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2,
+               "f16": 2, "bf16": 2, "s32": 4, "u32": 4, "f32": 4,
+               "s64": 8, "u64": 8, "f64": 8, "c64": 8, "c128": 16}
+
+
+def shape_bytes(shape_str: str) -> int:
+    """Total bytes of an HLO shape string — `bf16[128,56,56,64]{3,2,1,0}`
+    or a tuple `(f32[10]{0}, f32[20]{0})` (components summed)."""
+    total = 0
+    for m in re.finditer(r"(\w+)\[([\d,]*)\]", shape_str):
+        dt, dims = m.groups()
+        if dt not in DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * DTYPE_BYTES[dt]
+    return total
+
 
 def collective_counts(hlo_text: str) -> dict:
-    counts = {}
+    """Per-collective op counts AND result bytes in a compiled module.
+
+    Matches op names like `%all-gather.123` / `all-reduce-start.4`; the
+    result shape may be a TUPLE with spaces — e.g. `%all-reduce.2 =
+    (f32[...], f32[...]) all-reduce(...)` — when XLA combines
+    collectives, so a bare `\\S+` shape pattern undercounts (ADVICE r3:
+    94 counted vs 217 present on the full-rules module)."""
+    out = {}
     for name in COLLECTIVES:
-        # match op names like `%all-gather.123` / `all-reduce-start.4`
-        counts[name] = len(re.findall(rf"= \S+ {name}(?:-start)?\.?\d*\(",
-                                      hlo_text))
-    return counts
+        shapes = re.findall(
+            rf"= ((?:\([^)]*\)|\S+)) {name}(?:-start)?\.?\d*\(", hlo_text)
+        out[name] = {"count": len(shapes),
+                     "bytes": sum(shape_bytes(s) for s in shapes)}
+    return out
 
 
 def replicated_matmul_fraction(state, rules) -> float:
@@ -111,7 +139,9 @@ def main():
         print(json.dumps(row))
 
     if args.out:
-        with open(args.out, "a") as f:
+        # 'w', not 'a': the script always emits both rows, so appending
+        # would silently accumulate duplicates across reruns (ADVICE r3)
+        with open(args.out, "w") as f:
             for row in rows:
                 f.write(json.dumps(row) + "\n")
 

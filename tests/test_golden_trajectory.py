@@ -538,7 +538,23 @@ def _driver(which):
         t_losses.append(
             F.cross_entropy(t(xe), torch.from_numpy(y0e)).item())
 
-    print(json.dumps({"torch": t_losses, "jax": f_losses}))
+    # Direct running-stat tree comparison at step N: convert torch's
+    # post-training buffers (BN running mean/var, SelfNorm BN1d state)
+    # at f64 and diff leaf-wise against the jax batch_stats tree.
+    # Unlike the eval-loss entry this does not route the comparison
+    # through the logits, so it stays meaningful even in the crop'd
+    # lr-0.1 regimes where the eval loss is chaotic (VERDICT r3 #4).
+    _, t_stats, _ = convert_state_dict(
+        t.state_dict(), dict(variables["params"]),
+        dict(variables.get("batch_stats", {})), strict=True,
+        dtype=np.float64)
+    js = jax.tree.map(np.asarray, state.batch_stats)
+    stats_relerr = max(
+        float(np.max(np.abs(a - b) / (np.abs(b) + 1e-6)))
+        for a, b in zip(jax.tree.leaves(js), jax.tree.leaves(t_stats)))
+
+    print(json.dumps({"torch": t_losses, "jax": f_losses,
+                      "stats_relerr": stats_relerr}))
 
 
 def _driver_seg(cn=False):

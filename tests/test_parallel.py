@@ -214,6 +214,29 @@ class TestTensorParallel:
                          jax.random.key(3))
         assert np.isfinite(float(m2["loss"]))
 
+    def test_tp_indivisible_dims_fall_back_to_replicated(self):
+        """Rules don't know the mesh: a leaf dim that doesn't divide the
+        mesh axis (e.g. 10 classes on a model=4 axis) must fall back to
+        replicated for that dim instead of failing device_put (ADVICE
+        r3), while divisible dims keep their rule sharding."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+        from cnsn_tpu.parallel import TensorParallel, make_mesh
+
+        tp = TensorParallel(make_mesh(8, ("data", "model"), (2, 4)))
+        fc_kernel = jnp.zeros((2048, 10))   # 10 % 4 != 0 → replicate
+        conv1 = jnp.zeros((1, 1, 256, 64))  # 64 % 4 == 0 → sharded
+        placed = jax.device_put(
+            fc_kernel, tp._leaf_sharding(
+                (jax.tree_util.DictKey("fc"), jax.tree_util.DictKey("kernel")),
+                fc_kernel))
+        assert placed.sharding.spec == P(None, None)
+        sh = tp._leaf_sharding(
+            (jax.tree_util.DictKey("layer2_1"), jax.tree_util.DictKey("conv1"),
+             jax.tree_util.DictKey("kernel")), conv1)
+        assert sh.spec == P(None, None, None, "model")
+
     @pytest.mark.slow
     def test_tp_flagship_cn_image_step(self):
         """The bench flagship workload (in-network SN + image-space CN)

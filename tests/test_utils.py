@@ -32,6 +32,26 @@ def test_metric_writer_jsonl(tmp_path):
     assert lines[1]["tag"] == "acc"
 
 
+def test_metric_writer_tensorboard_mirror(tmp_path):
+    """tensorboard=True mirrors scalars into TB event files readable by
+    the standard loader (reference tensorboardX workflow,
+    train_cnsn.py:372-376) while keeping the JSONL stream."""
+    pytest.importorskip("tensorboard")
+    w = MetricWriter(str(tmp_path), tensorboard=True)
+    w.scalar("mIoU_val", 0.42, 7)
+    w.close()
+    events = [f for f in os.listdir(tmp_path)
+              if f.startswith("events.out.tfevents")]
+    assert events, os.listdir(tmp_path)
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator)
+    acc = EventAccumulator(str(tmp_path))
+    acc.Reload()
+    [ev] = acc.Scalars("mIoU_val")
+    assert ev.step == 7 and abs(ev.value - 0.42) < 1e-6
+    assert json.loads(open(w.path).readline())["tag"] == "mIoU_val"
+
+
 def test_average_meter():
     m = AverageMeter()
     m.update(1.0, 2)
