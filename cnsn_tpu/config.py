@@ -30,6 +30,7 @@ class ExperimentConfig:
     data_dir: str = "./data"
     corrupt_data_dir: Optional[str] = None
     workers: int = 4
+    augmix_workers: int = 0  # worker processes for host PIL AugMix
     prefetch_depth: int = 2  # host→device staging depth (0 disables)
     synthetic_data: bool = False
 

@@ -8,6 +8,7 @@ data is not mounted.  CIFAR-C: 50k-row <corruption>.npy + labels.npy
 """
 from __future__ import annotations
 
+import functools
 import os
 import pickle
 from dataclasses import dataclass
@@ -18,6 +19,7 @@ import numpy as np
 from .augmix import augmix
 from .transforms import (cifar_eval_transform, cifar_train_geom,
                          cifar_train_transform, normalize)
+from .workers import PrefetchPool
 
 __all__ = ["CifarData", "load_cifar", "load_cifar_c", "CifarLoader",
            "CORRUPTIONS"]
@@ -78,6 +80,20 @@ def load_cifar_c(corrupt_dir: str, corruption: str) -> Tuple[np.ndarray, np.ndar
     return images, labels
 
 
+def _augmix_views(item, aug_kw, nojsd):
+    """Pure per-image view builder: geometry + AugMix views from
+    (uint8 image, seed).  Module-level so the identical function runs
+    serially or in PrefetchPool workers (bit-identical per seed)."""
+    im, seed = item
+    rng = np.random.RandomState(seed)
+    geom = cifar_train_geom(rng, im)
+    if nojsd:
+        return augmix(rng, geom, normalize, 32, **aug_kw)
+    return (cifar_eval_transform(geom),
+            augmix(rng, geom, normalize, 32, **aug_kw),
+            augmix(rng, geom, normalize, 32, **aug_kw))
+
+
 class CifarLoader:
     """Host-side batch iterator producing NHWC float32 arrays.
 
@@ -88,12 +104,18 @@ class CifarLoader:
       'train_augmix_nojsd' — single AugMix view (the reference
                              AugMixDataset no_jsd=True mode, utils.py:112-113)
       'eval'               — normalize only
+
+    ``workers > 0`` fans the AugMix modes out to that many worker
+    processes with one-batch-ahead prefetch (the reference's DataLoader
+    num_workers overlap, cifar.py:361-366); outputs are bit-identical
+    to workers=0 for the same seed.
     """
 
     def __init__(self, data: CifarData, batch_size: int, mode: str = "train",
                  seed: int = 0, aug_severity: float = 3,
                  mixture_width: int = 3, mixture_depth: int = -1,
-                 all_ops: bool = False, drop_last: Optional[bool] = None):
+                 all_ops: bool = False, drop_last: Optional[bool] = None,
+                 workers: int = 0):
         self.data = data
         self.batch_size = batch_size
         self.mode = mode
@@ -103,6 +125,9 @@ class CifarLoader:
                            mixture_depth=mixture_depth, all_ops=all_ops)
         self.drop_last = (mode != "eval") if drop_last is None else drop_last
         self.epoch = 0
+        self._pool = (PrefetchPool(workers)
+                      if workers > 0 and mode.startswith("train_augmix")
+                      else None)
 
     def __len__(self):
         n = len(self.data.images)
@@ -116,6 +141,31 @@ class CifarLoader:
         idx = rng.permutation(n) if self.mode != "eval" else np.arange(n)
         b = self.batch_size
         stop = (n // b) * b if self.drop_last else n
+
+        if self.mode.startswith("train_augmix"):
+            nojsd = self.mode.endswith("nojsd")
+            fn = functools.partial(_augmix_views, aug_kw=self.aug_kw,
+                                   nojsd=nojsd)
+
+            def gen():
+                for s in range(0, stop, b):
+                    sel = idx[s:s + b]
+                    seeds = rng.randint(0, 2**31, len(sel))
+                    yield (list(zip(self.data.images[sel], seeds)),
+                           self.data.labels[sel])
+
+            runner = (self._pool.run(fn, gen()) if self._pool is not None
+                      else (([fn(it) for it in items], lbl)
+                            for items, lbl in gen()))
+            for results, labels in runner:
+                if nojsd:
+                    batch = np.stack(results)
+                else:
+                    batch = np.stack([np.stack(v)
+                                      for v in zip(*results)])
+                yield batch.astype(np.float32), labels
+            return
+
         for s in range(0, stop, b):
             sel = idx[s:s + b]
             imgs = self.data.images[sel]
@@ -127,19 +177,6 @@ class CifarLoader:
                 batch = np.stack([cifar_train_geom(rng, im) for im in imgs])
                 yield batch, labels
                 continue
-            elif self.mode == "train_augmix_nojsd":
-                batch = np.stack([
-                    augmix(rng, cifar_train_geom(rng, im), normalize, 32,
-                           **self.aug_kw) for im in imgs])
-            elif self.mode == "train_augmix":
-                views = [[], [], []]
-                for im in imgs:
-                    geom = cifar_train_geom(rng, im)
-                    views[0].append(cifar_eval_transform(geom))
-                    for v in (1, 2):
-                        views[v].append(augmix(rng, geom, normalize, 32,
-                                               **self.aug_kw))
-                batch = np.stack([np.stack(v) for v in views])
             else:
                 batch = np.stack([cifar_eval_transform(im) for im in imgs])
             yield batch.astype(np.float32), labels

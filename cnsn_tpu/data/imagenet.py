@@ -7,6 +7,7 @@ thread-pool decode/augment stage feeding NHWC float32 batches.
 """
 from __future__ import annotations
 
+import functools
 import os
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
@@ -18,6 +19,7 @@ from PIL import Image
 from .augmix import augmix
 from .transforms import (center_crop_resize, imagenet_normalize,
                          random_resized_crop)
+from .workers import PrefetchPool
 
 __all__ = ["ImageFolderData", "scan_image_folder", "ImageNetLoader",
            "imagenet_c_dir"]
@@ -55,6 +57,23 @@ def _decode(path: str) -> Image.Image:
         return im.convert("RGB")
 
 
+def _augmix_item(item, image_size, aug_kw):
+    """Pure per-image 3-view builder from (path, seed): decode,
+    RandomResizedCrop+flip geometry, then (clean, augmix, augmix)
+    (imagenet.py:487-499).  Module-level so the identical function runs
+    in the thread pool or in PrefetchPool worker processes —
+    bit-identical per seed either way."""
+    path, seed = item
+    rng = np.random.RandomState(seed)
+    img = random_resized_crop(rng, _decode(path), image_size)
+    arr = np.asarray(img, np.uint8)
+    if rng.rand() < 0.5:
+        arr = np.ascontiguousarray(arr[:, ::-1])
+    return (imagenet_normalize(arr),
+            augmix(rng, arr, imagenet_normalize, image_size, **aug_kw),
+            augmix(rng, arr, imagenet_normalize, image_size, **aug_kw))
+
+
 class ImageNetLoader:
     """mode: 'train' | 'train_augmix' | 'train_geom' | 'eval'.
 
@@ -64,6 +83,12 @@ class ImageNetLoader:
     uint8 after RandomResizedCrop + flip — feeding the on-device AugMix
     chain (data/augmix_jax.py), which moves the 3-view PIL op cost off
     the host CPUs (the AugMix recipes' input bottleneck).
+
+    ``mp_workers > 0`` fans train_augmix out to that many worker
+    *processes* with one-batch-ahead prefetch (the PIL op chain is
+    GIL-bound, so the thread pool serializes at ~1 core; this is the
+    reference's DataLoader num_workers overlap, imagenet.py:482-505).
+    Outputs are bit-identical to the thread path for the same seed.
     """
 
     def __init__(self, data: ImageFolderData, batch_size: int,
@@ -71,7 +96,7 @@ class ImageNetLoader:
                  workers: int = 8, aug_severity: float = 1,
                  mixture_width: int = 3, mixture_depth: int = -1,
                  all_ops: bool = False, drop_last: Optional[bool] = None,
-                 use_native: bool = True):
+                 use_native: bool = True, mp_workers: int = 0):
         self.data = data
         self.batch_size = batch_size
         self.mode = mode
@@ -83,6 +108,8 @@ class ImageNetLoader:
                            mixture_depth=mixture_depth, all_ops=all_ops)
         self.drop_last = (mode != "eval") if drop_last is None else drop_last
         self.epoch = 0
+        self._pool = (PrefetchPool(mp_workers)
+                      if mp_workers > 0 and mode == "train_augmix" else None)
         # native C++ decode path (csrc/loader.cc) for pure-JPEG datasets
         # in train/eval modes; AugMix keeps PIL (needs the PIL op chain)
         self.use_native = False
@@ -112,18 +139,6 @@ class ImageNetLoader:
         if rng.rand() < 0.5:
             arr = np.ascontiguousarray(arr[:, ::-1])
         return arr
-
-    def _one_train_augmix(self, rng, path):
-        img = random_resized_crop(rng, _decode(path), self.image_size)
-        arr = np.asarray(img, np.uint8)
-        if rng.rand() < 0.5:
-            arr = np.ascontiguousarray(arr[:, ::-1])
-        clean = imagenet_normalize(arr)
-        a1 = augmix(rng, arr, imagenet_normalize, self.image_size,
-                    **self.aug_kw)
-        a2 = augmix(rng, arr, imagenet_normalize, self.image_size,
-                    **self.aug_kw)
-        return clean, a1, a2
 
     def _one_eval(self, _rng, path):
         img = center_crop_resize(_decode(path), 256, self.image_size)
@@ -160,8 +175,33 @@ class ImageNetLoader:
                 yield batch, labels
             return
 
-        fn = {"train": self._one_train, "train_augmix": self._one_train_augmix,
-              "train_geom": self._one_train_geom,
+        if self.mode == "train_augmix":
+            fn = functools.partial(_augmix_item, image_size=self.image_size,
+                                   aug_kw=self.aug_kw)
+
+            def gen():
+                for s in range(0, stop, b):
+                    sel = idx[s:s + b]
+                    seeds = rng.randint(0, 2**31, len(sel))
+                    yield ([(self.data.samples[i][0], sd)
+                            for i, sd in zip(sel, seeds)],
+                           np.asarray([self.data.samples[i][1] for i in sel],
+                                      np.int32))
+
+            def assemble(results):
+                return np.stack([np.stack(v)
+                                 for v in zip(*results)]).astype(np.float32)
+
+            if self._pool is not None:
+                for results, labels in self._pool.run(fn, gen()):
+                    yield assemble(results), labels
+            else:
+                with ThreadPoolExecutor(self.workers) as pool:
+                    for items, labels in gen():
+                        yield assemble(list(pool.map(fn, items))), labels
+            return
+
+        fn = {"train": self._one_train, "train_geom": self._one_train_geom,
               "eval": self._one_eval}[self.mode]
         with ThreadPoolExecutor(self.workers) as pool:
             for s in range(0, stop, b):
@@ -172,14 +212,10 @@ class ImageNetLoader:
                 rngs = [np.random.RandomState(rng.randint(2**31))
                         for _ in sel]
                 results = list(pool.map(fn, rngs, paths))
-                if self.mode == "train_augmix":
-                    views = list(zip(*results))
-                    batch = np.stack([np.stack(v) for v in views])
-                elif self.mode == "train_geom":
+                if self.mode == "train_geom":
                     # stays uint8: the device-side AugMix consumes raw
                     # pixels (and the host→device copy is 4x smaller)
                     yield np.stack(results), labels
                     continue
-                else:
-                    batch = np.stack(results)
+                batch = np.stack(results)
                 yield batch.astype(np.float32), labels

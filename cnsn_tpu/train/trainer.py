@@ -75,7 +75,8 @@ class Trainer:
                 self.train_data, cfg.batch_size, mode=mode, seed=cfg.seed,
                 aug_severity=cfg.aug_severity,
                 mixture_width=cfg.mixture_width,
-                mixture_depth=cfg.mixture_depth, all_ops=cfg.all_ops)
+                mixture_depth=cfg.mixture_depth, all_ops=cfg.all_ops,
+                workers=cfg.augmix_workers)
             self.test_loader = CifarLoader(self.test_data,
                                            cfg.eval_batch_size, mode="eval")
         elif cfg.dataset == "imagenet":
@@ -93,7 +94,8 @@ class Trainer:
                 image_size=input_hw,
                 aug_severity=cfg.aug_severity,
                 mixture_width=cfg.mixture_width,
-                mixture_depth=cfg.mixture_depth, all_ops=cfg.all_ops)
+                mixture_depth=cfg.mixture_depth, all_ops=cfg.all_ops,
+                mp_workers=cfg.augmix_workers)
             self.test_loader = ImageNetLoader(
                 scan_image_folder(val_dir), cfg.eval_batch_size,
                 mode="eval", workers=cfg.workers, image_size=input_hw)

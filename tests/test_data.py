@@ -133,3 +133,65 @@ class TestAugMixNoJsd:
         loader = CifarLoader(data, 4, mode="train_augmix_nojsd")
         x, y = next(iter(loader))
         assert x.shape == (4, 32, 32, 3) and y.shape == (4,)
+
+
+class TestAugmixWorkerPool:
+    """Multiprocess AugMix workers (data/workers.py): bit-identical to
+    the in-process path per seed, across both loaders and both modes."""
+
+    def test_cifar_pool_matches_serial(self):
+        data = load_cifar("/nonexistent", "cifar10", True, synthetic=True,
+                          synthetic_size=24)
+        serial = CifarLoader(data, 8, mode="train_augmix", seed=3)
+        pooled = CifarLoader(data, 8, mode="train_augmix", seed=3, workers=2)
+        try:
+            for (xa, ya), (xb, yb) in zip(serial, pooled):
+                assert np.array_equal(ya, yb)
+                assert np.array_equal(xa, xb)
+        finally:
+            pooled._pool.close()
+
+    def test_cifar_pool_matches_serial_nojsd(self):
+        data = load_cifar("/nonexistent", "cifar100", True, synthetic=True,
+                          synthetic_size=16)
+        serial = CifarLoader(data, 8, mode="train_augmix_nojsd", seed=5)
+        pooled = CifarLoader(data, 8, mode="train_augmix_nojsd", seed=5,
+                             workers=2)
+        try:
+            for (xa, ya), (xb, yb) in zip(serial, pooled):
+                assert np.array_equal(ya, yb)
+                assert np.array_equal(xa, xb)
+        finally:
+            pooled._pool.close()
+
+    def test_cifar_pool_epochs_differ(self):
+        data = load_cifar("/nonexistent", "cifar10", True, synthetic=True,
+                          synthetic_size=16)
+        pooled = CifarLoader(data, 8, mode="train_augmix", seed=1, workers=2)
+        try:
+            a = next(iter(pooled))[0]
+            b = next(iter(pooled))[0]
+            assert not np.array_equal(a, b)
+        finally:
+            pooled._pool.close()
+
+    def test_imagenet_pool_matches_threads(self, tmp_path):
+        rng = np.random.RandomState(0)
+        for ci, cls in enumerate(["n01", "n02"]):
+            d = tmp_path / cls
+            d.mkdir()
+            for i in range(4):
+                arr = rng.randint(0, 256, (72, 56, 3), np.uint8)
+                Image.fromarray(arr).save(d / f"img_{i}.jpeg")
+        data = scan_image_folder(str(tmp_path))
+        thr = ImageNetLoader(data, 4, mode="train_augmix", image_size=32,
+                             workers=2, seed=7)
+        mp = ImageNetLoader(data, 4, mode="train_augmix", image_size=32,
+                            workers=2, seed=7, mp_workers=2)
+        try:
+            for (xa, ya), (xb, yb) in zip(thr, mp):
+                assert np.array_equal(ya, yb)
+                assert np.array_equal(xa, xb)
+                assert xa.shape == (3, 4, 32, 32, 3)
+        finally:
+            mp._pool.close()
