@@ -1,0 +1,497 @@
+"""Long-horizon (100+ step) f32 convergence equivalence vs torch.
+
+The f64 trajectory lockstep (tests/test_golden_trajectory.py) pins 3
+optimizer steps exactly; this file pins what 3 steps cannot see —
+LR-schedule state deep into the cosine curve, BN running-stat
+accumulation over a hundred momentum updates, and the RNG-stream
+coupling of the host CN gate / active-site draws — at the *realistic*
+precision (f32), where trajectories diverge chaotically from pure
+reduction-order rounding and per-step equality is unattainable.
+
+Method (VERDICT r3 #1): both frameworks train from identical imported
+init on identical synthetic batches with pinned CN randomness.  A
+third, jax-side trajectory with a 1-ulp-scale init perturbation
+(params x (1+1e-6)) measures the chaotic reduction-noise envelope.
+Four calibrated checks:
+  (1) early per-step train-loss divergence |torch-jax| stays inside a
+      multiple of the perturbation envelope while that envelope is
+      still small (before chaos saturates and everything decorrelates);
+  (2) the late-window mean train loss (the statistic that survives
+      chaos) matches within a multiple of the pert-arm's own gap;
+  (3) eval-mode loss/accuracy on a held-out set matches at periodic
+      checkpoints (this is what pins BN momentum — train losses never
+      read the running stats);
+  (4) the final running-stat trees agree leaf-wise within a multiple
+      of the pert-arm's gap (calibration bound only: by run end the
+      stats have converged to the chaos-perturbed activation moments,
+      so (3)'s early checkpoints are the discriminative stat check —
+      measured in perf/r4_convergence_allconv_cn.json).
+Two mutation arms prove the bounds bite: BN momentum 0.2
+(train-invisible; must break (3)) and a frozen LR schedule (the cosine
+decays to ~0 inside the run, so freezing it is a ~90x late-LR change;
+must break (2)).
+
+The regime is deliberately tame (lr 0.03, batch 64, full cosine decay
+inside the run): at the reference's lr-0.1/b32 settings a measured
+round-4 calibration run showed pure f32 reduction noise amplifying
+~1e5x within 30 steps, swamping every mutation signal — chaos, not a
+semantic gap (that run: torch envelope ratio 14x vs mut_schedule 3x,
+i.e. NO tolerance separates them at lr 0.1).  The tame regime keeps
+the same code paths (same step fns, same CN gates/sites, same
+schedule/optimizer machinery) while leaving chaos slow enough that a
+real semantic bug clears the noise floor by orders of magnitude.
+
+Regimes: the minimum end-to-end slice — AllConvNet+CrossNorm CIFAR-10
+(reference cifar10-scripts/allconv/run-cn.sh via cifar.py:117-145
+train_cn, host Bernoulli(0.5) gate, per-step active-site draws
+replayed from the real jax RNG stream) — and a flagship-shaped config
+(ResNet-50 + in-network SN + image-space CN, imagenet.py:195-250).
+Dropout runs at 0 on both sides (mask RNGs are not comparable across
+frameworks); pairing permutations are pinned to roll-1 on both sides.
+
+x64 stays OFF (f32 is the point).  The lockstep runs in a subprocess
+(this file doubles as the driver: ``python tests/test_convergence.py
+<config>`` prints one JSON record with all arms).
+"""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                                 reason="reference repo not available")]
+
+CONFIGS = {
+    # name -> (steps, batch, size, classes, lr, wd, total, nesterov,
+    #          eval_at, arms); total == steps so the cosine schedule
+    #          decays fully inside the run (makes mut_schedule decisive)
+    "allconv_cn": (120, 64, 32, 10, 0.03, 5e-4, 120, True,
+                   (10, 25, 50, 120),
+                   ("jax", "pert", "mut_momentum", "mut_schedule")),
+    "flagship": (100, 8, 64, 100, 0.02, 1e-4, 100, False,
+                 (10, 25, 50, 100), ("jax", "pert")),
+}
+
+PERTURB = 1e-6  # relative init perturbation for the noise-envelope arm
+
+
+def _run(which):
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu", JAX_ENABLE_X64="0")
+    r = subprocess.run([sys.executable, os.path.abspath(__file__), which],
+                       capture_output=True, text=True, timeout=5400, env=env)
+    line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+    assert line.startswith("{"), (r.stdout[-2000:], r.stderr[-2000:])
+    return json.loads(line)
+
+
+# ---------------------------------------------------------------------------
+# calibrated checks (constants measured from the committed calibration
+# run, perf/r4_convergence_allconv_cn.json / _flagship.json — see the
+# "MEASURED" notes on each)
+# ---------------------------------------------------------------------------
+
+def _early_envelope(rec, arm, c, floor, ceil):
+    """(1) early per-step tracking: while the perturbation envelope
+    env = runmax|pert - jax| is still below `ceil` (chaos not yet
+    saturated), require |arm - jax| <= max(c*env, floor) at every
+    step.  Returns the per-step (err, bound) inside the window."""
+    jx = np.asarray(rec["train"]["jax"])
+    other = np.asarray(rec["train"][arm])
+    pert = np.asarray(rec["train"]["pert"])
+    env = np.maximum.accumulate(np.abs(pert - jx))
+    win = env < ceil
+    err = np.abs(other - jx)[win]
+    bound = np.maximum(c * env[win], floor)
+    return err, bound, int(win.sum())
+
+
+def _late_mean_gap(rec, arm, window):
+    """(2) |mean(arm) - mean(jax)| over the last `window` train steps —
+    the statistic that survives chaotic per-step decorrelation."""
+    jx = np.asarray(rec["train"]["jax"])[-window:]
+    other = np.asarray(rec["train"][arm])[-window:]
+    return abs(float(other.mean() - jx.mean()))
+
+
+def _eval_gaps(rec, arm):
+    """(3) per-checkpoint [|Δloss|, |Δacc|] vs the jax arm."""
+    jx = np.asarray(rec["eval"]["jax"], float)
+    other = np.asarray(rec["eval"][arm], float)
+    assert (jx[:, 0] == other[:, 0]).all()
+    return np.abs(other[:, 1:] - jx[:, 1:])      # (K, 2): loss, acc
+
+
+_REC_CACHE = {}
+
+
+def _rec(which):
+    if which not in _REC_CACHE:
+        _REC_CACHE[which] = _run(which)
+    return _REC_CACHE[which]
+
+
+# MEASURED (perf/r4_convergence_allconv_cn.json): torch's early
+# envelope ratio 1.5 (bound 12), late-40 mean gap 0.0018 (bound 0.08 —
+# mut_schedule measures 0.120), eval dloss<=0.060/dacc<=0.086 (bounds
+# 0.40/0.24 — mut_momentum measures 0.92/0.29 at step 10), final-stats
+# err 0.82 vs pert's own 0.83 (chaos-dominated by step 120; see
+# test_allconv_cn_mutations_break_the_bounds for why stats are only
+# calibration-bounded, not a mutation detector).
+ALLCONV = dict(c_early=12.0, floor_early=2e-3, ceil_early=0.05,
+               late_window=40, late_floor=0.02, late_c=4.0,
+               eval_c=8.0, eval_floor=(0.05, 0.03), stats_c=3.0,
+               stats_floor=0.05)
+
+
+def test_allconv_cn_torch_tracks_120_steps():
+    """120 SGD steps of AllConv+CN at f32: torch stays inside the
+    calibrated reduction-noise bounds on all four statistics."""
+    rec = _rec("allconv_cn")
+    t = ALLCONV
+    err, bound, n = _early_envelope(rec, "torch", t["c_early"],
+                                    t["floor_early"], t["ceil_early"])
+    assert n >= 10, f"early window collapsed to {n} steps"
+    assert (err <= bound).all(), (err, bound)
+
+    gap = _late_mean_gap(rec, "torch", t["late_window"])
+    pert_gap = _late_mean_gap(rec, "pert", t["late_window"])
+    assert gap <= t["late_c"] * max(pert_gap, t["late_floor"]), (
+        gap, pert_gap)
+
+    d = _eval_gaps(rec, "torch")
+    dp = _eval_gaps(rec, "pert")
+    bound = t["eval_c"] * np.maximum(dp, np.asarray(t["eval_floor"]))
+    assert (d <= bound).all(), (d, bound)
+
+    rel = rec["stats_relerr"]
+    assert rel["torch_vs_jax"] <= t["stats_c"] * max(
+        rel["pert_vs_jax"], t["stats_floor"]), rel
+
+
+def test_allconv_cn_mutations_break_the_bounds():
+    """The bounds bite: BN momentum 0.2 (train-invisible) must break
+    the eval-checkpoint check, and a frozen LR schedule (the cosine
+    fully decays inside the run) must break the late-window mean."""
+    rec = _rec("allconv_cn")
+    t = ALLCONV
+
+    d = _eval_gaps(rec, "mut_momentum")
+    dp = _eval_gaps(rec, "pert")
+    bound = t["eval_c"] * np.maximum(dp, np.asarray(t["eval_floor"]))
+    assert (d > bound).any(), (d, bound)
+    # The momentum mutation is caught at the EARLY eval checkpoints
+    # (measured dloss 0.92 at step 10 vs bound 0.40): running stats
+    # converge to the (chaos-perturbed) activation moments by step 120
+    # regardless of momentum, so the *final* stats tree has no
+    # mutation power — measured mut_momentum final-stats err 0.34 vs
+    # the pert arm's own 0.83.  The final-stats check in the tracking
+    # test is therefore calibration-bounded only.
+
+    gap = _late_mean_gap(rec, "mut_schedule", t["late_window"])
+    pert_gap = _late_mean_gap(rec, "pert", t["late_window"])
+    assert gap > t["late_c"] * max(pert_gap, t["late_floor"]), (
+        gap, pert_gap)
+
+
+# MEASURED (perf/r4_convergence_flagship.json): ResNet-50 at b8 is far
+# more chaotic than AllConv at b64 — the 1e-6 perturbation amplifies
+# to a 0.18 loss gap after ONE step, so the early window degenerates
+# and the train evidence is the late-window mean (torch 0.035 vs pert
+# 0.012, bound 0.08).  Eval CE during BN warmup spans 9 orders of
+# magnitude (running stats far from converged), so eval loss compares
+# on log10 (framework noise is multiplicative there: torch |dlog10|
+# <= 0.37 vs pert's own 0.14-0.31); a checkpoint where the pert
+# calibration arm itself is non-finite carries no information and is
+# skipped.  Accuracies agree to 1.6% absolute.  Mutation arms live in
+# the allconv config (same step/optimizer/schedule machinery).
+FLAGSHIP = dict(late_window=30, late_floor=0.02, late_c=4.0,
+                eval_log_c=8.0, eval_log_floor=0.1,
+                acc_c=8.0, acc_floor=0.03, stats_c=3.0, stats_floor=0.05)
+
+
+def test_flagship_torch_tracks_100_steps():
+    """100 SGD steps of the flagship shape (ResNet-50 + in-network SN +
+    image-space CN, the run-cnsn.sh recipe): torch stays inside the
+    calibrated bounds."""
+    rec = _rec("flagship")
+    t = FLAGSHIP
+
+    gap = _late_mean_gap(rec, "torch", t["late_window"])
+    pert_gap = _late_mean_gap(rec, "pert", t["late_window"])
+    assert gap <= t["late_c"] * max(pert_gap, t["late_floor"]), (
+        gap, pert_gap)
+
+    d = _eval_gaps(rec, "torch")
+    dp = _eval_gaps(rec, "pert")
+    jl = np.asarray(rec["eval"]["jax"], float)[:, 1]
+    tl = np.asarray(rec["eval"]["torch"], float)[:, 1]
+    pl = np.asarray(rec["eval"]["pert"], float)[:, 1]
+    dlog = np.abs(np.log10(tl) - np.log10(jl))
+    dlog_p = np.abs(np.log10(pl) - np.log10(jl))
+    ok = np.isfinite(dlog_p)  # pert-nan checkpoints are uninformative
+    assert ok.sum() >= 3, dlog_p
+    assert np.isfinite(dlog[ok]).all(), (tl, jl)
+    bound = t["eval_log_c"] * np.maximum(dlog_p[ok], t["eval_log_floor"])
+    assert (dlog[ok] <= bound).all(), (dlog, bound)
+    acc_bound = t["acc_c"] * np.maximum(dp[:, 1], t["acc_floor"])
+    assert (d[:, 1] <= acc_bound).all(), (d, acc_bound)
+
+    rel = rec["stats_relerr"]
+    assert rel["torch_vs_jax"] <= t["stats_c"] * max(
+        rel["pert_vs_jax"], t["stats_floor"]), rel
+
+
+# ---------------------------------------------------------------------------
+# subprocess driver
+# ---------------------------------------------------------------------------
+
+def _driver(which):
+    import contextlib
+    import io
+    import types
+
+    import torch
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for p in (repo, REFERENCE):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+
+    import cnsn_tpu.models.allconv as allconv_mod
+    from cnsn_tpu.models import build_model
+    from cnsn_tpu.ops import crossnorm as cn_mod
+    from cnsn_tpu.train import (StepFns, cosine_lr, create_train_state,
+                                make_sgd, sample_cn_mask)
+    from cnsn_tpu.utils.torch_import import allconv_key_map, convert_state_dict
+
+    (steps_n, batch, size, classes, lr, wd, total, nesterov,
+     eval_at, jax_arms) = CONFIGS[which]
+
+    # ----- pinned randomness shared by every arm -----------------------
+    # pairing permutation: roll-1 on both sides (reference randperm,
+    # models/cnsn.py:62; ours ops/crossnorm.py grouped_permutation)
+    roll = lambda n: (np.arange(n) + 1) % n
+    cn_mod.grouped_permutation = (
+        lambda key, n, num_groups=1: jnp.asarray(roll(n)))
+    torch.randperm = lambda n, **kw: torch.from_numpy(roll(n))
+
+    # host Bernoulli(cn_prob=0.5) CN gate (cifar.py:127-128 /
+    # imagenet.py:214) — one shared draw sequence
+    gates = np.random.RandomState(13).rand(steps_n) < 0.5
+
+    # per-step active-site draws, replayed from the REAL jax RNG stream
+    # the cn step uses (steps.py _cn: k_mask = split(key_i)[0]), so the
+    # torch arm follows the exact site sequence the jax arm samples
+    allconv = which == "allconv_cn"
+    if allconv:
+        cn_num = 9
+        sites = []
+        for i in range(steps_n):
+            k_mask = jax.random.split(jax.random.key(i))[0]
+            m = np.asarray(sample_cn_mask(k_mask, cn_num, 1))
+            sites.append(int(np.argmax(m)))
+
+    # ----- synthetic data: class-mean blobs (learnable) ----------------
+    data_rng = np.random.RandomState(7)
+    mu = (data_rng.randn(classes, 1, 1, 3) * 1.2).astype(np.float32)
+
+    def make(rng, n):
+        y = rng.randint(0, classes, n)
+        x = mu[y] + 0.7 * rng.randn(n, size, size, 3)
+        return x.astype(np.float32), y.astype(np.int64)
+
+    batches = [make(data_rng, batch) for _ in range(steps_n)]
+    eval_rng = np.random.RandomState(11)
+    eval_x, eval_y = make(eval_rng, 256)
+
+    # ----- torch init (imported by every jax arm) ----------------------
+    torch.manual_seed(0)
+    with contextlib.redirect_stdout(io.StringIO()):
+        if allconv:
+            from models.cifar.allconv_cnsn import AllConvNet as TorchAllConv
+            t = TorchAllConv(classes, active_num=1, pos=1, beta=1.0,
+                             crop="neither", cnsn_type="cn")
+            for m in t.modules():
+                if isinstance(m, torch.nn.Dropout):
+                    m.p = 0.0
+            key_map = allconv_key_map(1)
+        else:
+            from models.imagenet.resnet_cnsn import resnet50 as torch_r50
+            cfg = types.SimpleNamespace(active_num=1, pos="post", beta=1.0,
+                                        crop="neither", cnsn_type="sn")
+            t = torch_r50(cfg)
+            t.avgpool = torch.nn.AdaptiveAvgPool2d(1)  # 64² inputs
+            t.fc = torch.nn.Linear(2048, classes)
+            torch.manual_seed(1)
+            torch.nn.init.normal_(t.fc.weight, 0, 0.01)
+            torch.nn.init.zeros_(t.fc.bias)
+            key_map = None
+    init_sd = {k: v.detach().clone() for k, v in t.state_dict().items()}
+
+    @contextlib.contextmanager
+    def bn_momentum(momentum):
+        """Sabotage arm: silent BN-momentum drift.  allconv.py resolves
+        the BatchNorm name from its module globals at *trace* time, so
+        the patch must stay installed for the whole arm (init + every
+        jitted apply), not just construction.  Flax runs its dataclass
+        transform in __init_subclass__, so a plain subclass overriding
+        the field default suffices; same class name keeps the param
+        tree layout identical."""
+        cls = allconv_mod.BatchNorm
+        if momentum is not None:
+            allconv_mod.BatchNorm = type(
+                cls.__name__, (cls,),
+                {"__annotations__": {"momentum": float},
+                 "momentum": momentum})
+        try:
+            yield
+        finally:
+            allconv_mod.BatchNorm = cls
+
+    def build_jax():
+        if allconv:
+            return build_model("allconv", num_classes=classes, pos=1,
+                               beta=1.0, crop="neither", cnsn_type="cn",
+                               drop_rate=0.0)
+        return build_model("resnet50", num_classes=classes, pos="post",
+                           beta=1.0, crop="neither", cnsn_type="sn")
+
+    def run_jax_arm(momentum=None, frozen_lr=False, perturb=0.0):
+        with bn_momentum(momentum):
+            return _run_jax_arm(frozen_lr=frozen_lr, perturb=perturb)
+
+    def _run_jax_arm(frozen_lr=False, perturb=0.0):
+        model = build_jax()
+        x0 = jnp.asarray(batches[0][0])
+        variables = model.init({"params": jax.random.key(0)}, x0, False, None)
+        params, stats, missing = convert_state_dict(
+            init_sd, dict(variables["params"]),
+            dict(variables.get("batch_stats", {})), strict=True,
+            key_map=key_map)
+        assert not missing, missing
+        if perturb:
+            params = jax.tree.map(
+                lambda p: (np.asarray(p) * (1.0 + perturb)).astype(p.dtype),
+                params)
+        sched = (lambda s: lr) if frozen_lr else cosine_lr(lr, total)
+        tx = make_sgd(sched, weight_decay=wd, nesterov=nesterov)
+        state = create_train_state(model, jax.random.key(0), x0.shape, tx)
+        state = state.replace(params=params, batch_stats=stats,
+                              opt_state=tx.init(params))
+        sfns = StepFns(model, active_num=1, image_crop="neither",
+                       image_beta=1.0)
+        aug_fn = sfns.cn if allconv else sfns.cn_image
+        losses, evals = [], []
+        for i, (x, y) in enumerate(batches):
+            fn = aug_fn if gates[i] else sfns.plain
+            state, metrics = fn(state, jnp.asarray(x), jnp.asarray(y),
+                                jax.random.key(i))
+            losses.append(float(metrics["loss"]))
+            if (i + 1) in eval_at:
+                tot_l = tot_c = tot_n = 0.0
+                for lo in range(0, len(eval_x), 64):
+                    m = sfns.eval_sum(state, jnp.asarray(eval_x[lo:lo + 64]),
+                                      jnp.asarray(eval_y[lo:lo + 64]))
+                    n = float(m["n"])
+                    tot_l += float(m["loss"]) * n
+                    tot_c += float(m["correct"])
+                    tot_n += n
+                evals.append([i + 1, tot_l / tot_n, tot_c / tot_n])
+        return losses, evals, jax.tree.map(np.asarray, state.batch_stats)
+
+    # ----- run the jax arms --------------------------------------------
+    arms_train, arms_eval, arms_stats = {}, {}, {}
+    arm_kw = {"jax": {}, "pert": {"perturb": PERTURB},
+              "mut_momentum": {"momentum": 0.2},
+              "mut_schedule": {"frozen_lr": True}}
+    for arm in jax_arms:
+        import time
+        t0 = time.time()
+        arms_train[arm], arms_eval[arm], arms_stats[arm] = run_jax_arm(
+            **arm_kw[arm])
+        print(f"arm {arm}: {time.time() - t0:.0f}s", file=sys.stderr)
+
+    # ----- torch arm (reference loops: cifar.py:117-145 train_cn with
+    # the pinned site draw; imagenet.py:195-250 train_cn_image) --------
+    F = torch.nn.functional
+    import models.cnsn as ref_cnsn
+    opt = torch.optim.SGD(t.parameters(), lr, momentum=0.9,
+                          weight_decay=wd, nesterov=nesterov)
+    sched = torch.optim.lr_scheduler.LambdaLR(
+        opt, lr_lambda=lambda step: 1e-6 / lr + (1 - 1e-6 / lr) * 0.5 * (
+            1 + np.cos(step / total * np.pi)))
+    t.train()
+    t_losses, t_evals = [], []
+    for i, (x, y) in enumerate(batches):
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        yt = torch.from_numpy(y)
+        if gates[i]:
+            if allconv:
+                t.cn_modules[sites[i]].active = True
+            else:
+                xt = ref_cnsn.cn_op_2ins_space_chan(xt, crop="neither",
+                                                    beta=1)
+        loss = F.cross_entropy(t(xt), yt)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        sched.step()
+        t_losses.append(loss.item())
+        if (i + 1) in eval_at:
+            t.eval()
+            with torch.no_grad():
+                tot_l = tot_c = 0.0
+                for lo in range(0, len(eval_x), 64):
+                    xe = torch.from_numpy(
+                        eval_x[lo:lo + 64].transpose(0, 3, 1, 2))
+                    ye = torch.from_numpy(eval_y[lo:lo + 64])
+                    lg = t(xe)
+                    tot_l += F.cross_entropy(lg, ye, reduction="sum").item()
+                    tot_c += (lg.argmax(1) == ye).sum().item()
+                t_evals.append([i + 1, tot_l / len(eval_x),
+                                tot_c / len(eval_x)])
+            t.train()
+    arms_train["torch"], arms_eval["torch"] = t_losses, t_evals
+
+    # ----- final running-stat trees vs the jax arm ---------------------
+    model = build_jax()
+    x0 = jnp.asarray(batches[0][0])
+    variables = model.init({"params": jax.random.key(0)}, x0, False, None)
+    _, t_stats, _ = convert_state_dict(
+        t.state_dict(), dict(variables["params"]),
+        dict(variables.get("batch_stats", {})), strict=True,
+        key_map=key_map, dtype=np.float64)
+
+    def stats_err(tree_a, tree_b):
+        """max over leaves of max|a-b| / leaf RMS scale — per-element
+        relative error blows up on near-zero running means, so
+        normalize by the leaf's own magnitude scale instead."""
+        out = 0.0
+        for a, b in zip(jax.tree.leaves(tree_a), jax.tree.leaves(tree_b)):
+            a = np.asarray(a, np.float64)
+            b = np.asarray(b, np.float64)
+            scale = max(np.sqrt(np.mean(b * b)), 1e-3)
+            out = max(out, float(np.max(np.abs(a - b))) / scale)
+        return out
+
+    rel = {"torch_vs_jax": stats_err(arms_stats["jax"], t_stats)}
+    for arm in jax_arms:
+        if arm != "jax":
+            rel[arm + "_vs_jax"] = stats_err(arms_stats[arm],
+                                             arms_stats["jax"])
+
+    print(json.dumps({"train": arms_train, "eval": arms_eval,
+                      "stats_relerr": rel}))
+
+
+if __name__ == "__main__":
+    _driver(sys.argv[1])
