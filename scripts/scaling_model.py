@@ -28,11 +28,15 @@ Reference anchor (what this replaces): DDP/NCCL scaling,
 /root/reference/segmentation/tool/train_cnsn.py:170-175,221-225.
 
 Usage: python scripts/scaling_model.py [--per-device-batch 8]
-         [--size 64] [--out perf/scaling_model.jsonl]
+         [--size 64] [--n-devices 8] [--append]
+         [--out perf/scaling_model.jsonl]
 (defaults compile a small-spatial program: grad-all-reduce bytes are
 shape-independent — they equal the grad tree bytes — so the small
 program carries the same collective payload as the 224^2 one; the
-script asserts this against the param-tree byte count.)
+script asserts this against the param-tree byte count.  --n-devices
+sweeps the mesh size: the per-step all-reduce payload must stay equal
+to the param bytes at every n — i.e. the ring term 2*(n-1)/n is the
+ONLY n-dependence in the model — which the n=4/8/16 rows verify.)
 """
 import argparse
 import json
@@ -44,15 +48,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_force_host_platform_device_count=8")
+
+
+def _peek_n_devices(default=8):
+    """--n-devices must be known before the first jax op (the virtual
+    device count is an XLA startup flag), so peek it off argv here."""
+    for i, a in enumerate(sys.argv):
+        if a == "--n-devices" and i + 1 < len(sys.argv):
+            return int(sys.argv[i + 1])
+        if a.startswith("--n-devices="):
+            return int(a.split("=", 1)[1])
+    return default
+
+
+N_DEVICES = _peek_n_devices()
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + f" --xla_force_host_platform_device_count={N_DEVICES}")
 
 import jax.numpy as jnp
 import numpy as np
 
 from tp_hlo_stats import collective_counts  # noqa: E402 (same dir)
-
-N_DEVICES = 8
 LINK_BW = 4.5e10          # bytes/s per ICI link direction (v5e)
 AXIS_BW = 2 * LINK_BW     # bidirectional ring on one torus axis
 
@@ -67,6 +84,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--per-device-batch", type=int, default=8)
     ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--n-devices", type=int, default=8,
+                    help="DP mesh size (virtual devices); the all-reduce "
+                         "payload must be n-invariant")
+    ap.add_argument("--append", action="store_true",
+                    help="append to --out instead of rewriting (n sweeps)")
     ap.add_argument("--measured-ms", type=float, default=None,
                     help="measured single-chip ms/step at b128 224² "
                          "(default: read perf/r4_flagship_batch.jsonl)")
@@ -143,7 +165,9 @@ def main():
         }
 
     out = {
-        "model": "flagship DP @ v5e-8 (2x4 torus)",
+        "model": f"flagship DP @ v5e-{N_DEVICES}"
+                 + (" (2x4 torus)" if N_DEVICES == 8 else ""),
+        "n_devices": N_DEVICES,
         "per_step_all_reduce_bytes": comm_bytes,
         "param_bytes": param_bytes,
         "measured_single_chip_ms": measured_ms,
@@ -160,11 +184,12 @@ def main():
     # headline: realistic links, overlap bracketed -> quote the band
     lo = proj["realistic"]["img_per_sec_chip_serial"]
     hi = proj["optimistic"]["img_per_sec_chip_overlap"]
-    out["projected_v5e8_img_per_sec_per_chip"] = [lo, hi]
-    out["projected_v5e8_img_per_sec_total"] = [round(lo * 8, 1),
-                                               round(hi * 8, 1)]
+    key = f"projected_v5e{N_DEVICES}_img_per_sec"
+    out[key + "_per_chip"] = [lo, hi]
+    out[key + "_total"] = [round(lo * N_DEVICES, 1),
+                           round(hi * N_DEVICES, 1)]
     print(json.dumps(out))
-    with open(args.out, "w") as f:
+    with open(args.out, "a" if args.append else "w") as f:
         f.write(json.dumps(out) + "\n")
 
 
