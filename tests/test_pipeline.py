@@ -1,0 +1,131 @@
+"""Pipeline parallelism (parallel/pipeline.py): the GPipe schedule on
+the virtual mesh must reproduce the sequential block stack exactly —
+forward bit-identical, gradients to f32 reduction noise — standalone
+on a ('stage',) mesh and composed with data parallelism on a 2-D
+('data', 'stage') mesh, and a full SGD step must match the
+single-device step."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cnsn_tpu.parallel import make_mesh
+from cnsn_tpu.parallel.pipeline import (PipelineParallel,
+                                        init_selfnorm_block,
+                                        pipeline_apply, selfnorm_block,
+                                        stack_layer_params)
+
+L, C, B, M = 8, 16, 8, 4  # layers, channels, batch, microbatches
+
+
+@pytest.fixture(scope="module")
+def blocks():
+    keys = jax.random.split(jax.random.key(0), L)
+    return stack_layer_params([init_selfnorm_block(k, C) for k in keys])
+
+
+@pytest.fixture(scope="module")
+def x():
+    rng = np.random.RandomState(1)
+    return jnp.asarray(rng.randn(B, 8, 8, C).astype(np.float32))
+
+
+def seq_apply(blocks, x):
+    h, _ = jax.lax.scan(lambda c, p: (selfnorm_block(p, c), None),
+                        x, blocks)
+    return h
+
+
+def test_forward_matches_sequential(blocks, x):
+    ref = jax.jit(seq_apply)(blocks, x)
+    mesh = make_mesh(4, ("stage",))
+    pp = PipelineParallel(mesh)
+    out = jax.jit(lambda b, xx: pipeline_apply(
+        selfnorm_block, b, xx, mesh, M))(
+            pp.shard_blocks(blocks), pp.replicate(x))
+    # identical math, just rescheduled: bit-exact
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_grads_match_sequential(blocks, x):
+    mesh = make_mesh(4, ("stage",))
+    pp = PipelineParallel(mesh)
+
+    def loss_pipe(b, xx):
+        return jnp.mean(pipeline_apply(selfnorm_block, b, xx, mesh, M) ** 2)
+
+    def loss_seq(b, xx):
+        return jnp.mean(seq_apply(b, xx) ** 2)
+
+    gp, gxp = jax.jit(jax.grad(loss_pipe, argnums=(0, 1)))(
+        pp.shard_blocks(blocks), pp.replicate(x))
+    gs, gxs = jax.jit(jax.grad(loss_seq, argnums=(0, 1)))(blocks, x)
+    # backward reduction order differs (reverse-ring ppermute): f32 noise
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-5 * float(
+                                       jnp.abs(b).max()))
+    np.testing.assert_allclose(np.asarray(gxp), np.asarray(gxs),
+                               rtol=0,
+                               atol=1e-5 * float(jnp.abs(gxs).max()))
+
+
+def test_composes_with_data_parallel(blocks, x):
+    ref = jax.jit(seq_apply)(blocks, x)
+    mesh = make_mesh(8, ("data", "stage"), (2, 4))
+    pp = PipelineParallel(mesh, data_axis="data")
+    out = jax.jit(lambda b, xx: pipeline_apply(
+        selfnorm_block, b, xx, mesh, M, data_axis="data"))(
+            pp.shard_blocks(blocks), pp.shard_batch(x))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_sgd_step_matches_sequential(blocks, x):
+    """One full train step (trunk pipelined, CE head outside the
+    shard_map) lands on the same params as the single-device step."""
+    mesh = make_mesh(8, ("data", "stage"), (2, 4))
+    pp = PipelineParallel(mesh, data_axis="data")
+    labels = jnp.asarray(np.random.RandomState(2).randint(0, 5, B))
+    wk = jax.random.normal(jax.random.key(3), (C, 5)) * 0.1
+    lr = 0.1
+
+    def head_loss(h, w, y):
+        logits = jnp.mean(h, axis=(1, 2)) @ w
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(logp, y[:, None], 1))
+
+    def step(loss_fn, params, *args):
+        g = jax.grad(loss_fn)(params, *args)
+        return jax.tree.map(lambda p, gg: p - lr * gg, params, g)
+
+    def loss_pipe(params, xx, y):
+        h = pipeline_apply(selfnorm_block, params["blocks"], xx, mesh, M,
+                           data_axis="data")
+        return head_loss(h, params["head"], y)
+
+    def loss_seq(params, xx, y):
+        return head_loss(seq_apply(params["blocks"], xx), params["head"], y)
+
+    p_pipe = {"blocks": pp.shard_blocks(blocks), "head": pp.replicate(wk)}
+    p_seq = {"blocks": blocks, "head": wk}
+    new_pipe = jax.jit(lambda p, xx, y: step(loss_pipe, p, xx, y))(
+        p_pipe, pp.shard_batch(x), pp.shard_batch(labels))
+    new_seq = jax.jit(lambda p, xx, y: step(loss_seq, p, xx, y))(
+        p_seq, x, labels)
+    for a, b in zip(jax.tree.leaves(new_pipe), jax.tree.leaves(new_seq)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-6 * max(
+                                       float(jnp.abs(b).max()), 1.0))
+
+
+def test_layer_count_must_divide_stages(blocks, x):
+    mesh = make_mesh(4, ("stage",))
+    bad = jax.tree.map(lambda p: p[:6], blocks)  # 6 layers on 4 stages
+    with pytest.raises(ValueError, match="divide"):
+        pipeline_apply(selfnorm_block, bad, x, mesh, M)
+
+
+def test_batch_must_divide_microbatches(blocks, x):
+    mesh = make_mesh(4, ("stage",))
+    with pytest.raises(ValueError, match="divisible"):
+        pipeline_apply(selfnorm_block, blocks, x[:6], mesh, M)
