@@ -28,8 +28,12 @@ Reference anchor (what this replaces): DDP/NCCL scaling,
 /root/reference/segmentation/tool/train_cnsn.py:170-175,221-225.
 
 Usage: python scripts/scaling_model.py [--per-device-batch 8]
-         [--size 64] [--n-devices 8] [--append]
+         [--size 64] [--n-devices 8] [--mapping dp|fsdp] [--append]
          [--out perf/scaling_model.jsonl]
+(--mapping fsdp prices the ZeRO placement (parallel/fsdp.py): XLA's
+layer-wise param all-gathers + mixed grad reductions instead of the
+single grad all-reduce; all-gather/reduce-scatter ride the ring once,
+all-reduce twice.)
 (defaults compile a small-spatial program: grad-all-reduce bytes are
 shape-independent — they equal the grad tree bytes — so the small
 program carries the same collective payload as the 224^2 one; the
@@ -80,6 +84,12 @@ def ring_all_reduce_s(bytes_, n=N_DEVICES, efficiency=1.0):
     return 2.0 * bytes_ * (n - 1) / n / (AXIS_BW * efficiency)
 
 
+def ring_one_pass_s(bytes_, n=N_DEVICES, efficiency=1.0):
+    """All-gather / reduce-scatter ride the ring once: (n-1)/n of the
+    payload crosses each link (``bytes_`` = the full gathered size)."""
+    return bytes_ * (n - 1) / n / (AXIS_BW * efficiency)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--per-device-batch", type=int, default=8)
@@ -87,6 +97,10 @@ def main():
     ap.add_argument("--n-devices", type=int, default=8,
                     help="DP mesh size (virtual devices); the all-reduce "
                          "payload must be n-invariant")
+    ap.add_argument("--mapping", choices=("dp", "fsdp"), default="dp",
+                    help="dp = replicated state, one grad all-reduce; "
+                         "fsdp = ZeRO-sharded state (parallel/fsdp.py), "
+                         "layer-wise param all-gathers + grad reductions")
     ap.add_argument("--append", action="store_true",
                     help="append to --out instead of rewriting (n sweeps)")
     ap.add_argument("--measured-ms", type=float, default=None,
@@ -106,7 +120,7 @@ def main():
     measured_batch = 128
 
     from cnsn_tpu.models import build_model
-    from cnsn_tpu.parallel import DataParallel, make_mesh
+    from cnsn_tpu.parallel import FSDP, DataParallel, make_mesh
     from cnsn_tpu.train import (StepFns, cosine_lr, create_train_state,
                                 make_sgd)
 
@@ -123,8 +137,12 @@ def main():
     param_bytes = sum(x.size * x.dtype.itemsize
                       for x in jax.tree.leaves(state.params))
 
-    dp = DataParallel(make_mesh(N_DEVICES))
-    st = dp.replicate(state)
+    if args.mapping == "fsdp":
+        dp = FSDP(make_mesh(N_DEVICES))
+        st = dp.shard_state(state)
+    else:
+        dp = DataParallel(make_mesh(N_DEVICES))
+        st = dp.replicate(state)
     rng = np.random.RandomState(0)
     imgs, lbls = dp.shard_inputs(
         jnp.asarray(rng.randn(b, size, size, 3).astype(np.float32)),
@@ -138,37 +156,63 @@ def main():
         per_prog[name] = cc
         print(json.dumps({"program": name, "collectives": cc}))
 
-    # DP communication = the gradient all-reduce (+O(100 B) metric
-    # scalars): must match the param-tree bytes and must NOT grow when
-    # the image-space CN path is added (shard-local pairing).
     ar = {k: v["all-reduce"]["bytes"] for k, v in per_prog.items()}
-    other = {k: sum(v[c]["bytes"] for c in v if c != "all-reduce")
-             for k, v in per_prog.items()}
-    assert abs(ar["plain"] - param_bytes) / param_bytes < 0.05, (
-        ar, param_bytes)
-    assert abs(ar["cn_image"] - ar["plain"]) < 0.01 * param_bytes, ar
-    assert max(other.values()) < 0.01 * param_bytes, other
+    ag = {k: v["all-gather"]["bytes"] for k, v in per_prog.items()}
+    rs = {k: v["reduce-scatter"]["bytes"] for k, v in per_prog.items()}
+    total = {k: ar[k] + ag[k] + rs[k] for k in per_prog}
+    if args.mapping == "dp":
+        # DP communication = the gradient all-reduce (+O(100 B) metric
+        # scalars): must match the param-tree bytes and must NOT grow
+        # when the image-space CN path is added (shard-local pairing).
+        other = {k: sum(v[c]["bytes"] for c in v if c != "all-reduce")
+                 for k, v in per_prog.items()}
+        assert abs(ar["plain"] - param_bytes) / param_bytes < 0.05, (
+            ar, param_bytes)
+        assert abs(ar["cn_image"] - ar["plain"]) < 0.01 * param_bytes, ar
+        assert max(other.values()) < 0.01 * param_bytes, other
+    else:
+        # FSDP communication = layer-wise param all-gathers at use
+        # sites + gradient reductions (XLA mixes all-reduce-then-slice
+        # and reduce-scatter per leaf): O(param bytes) in total, and
+        # still shard-local CN (no growth on the cn_image program).
+        assert 0.5 < total["plain"] / param_bytes < 2.5, (
+            total, param_bytes)
+        assert abs(total["cn_image"] - total["plain"]) \
+            < 0.01 * param_bytes, total
+        # anything outside AR/AG/RS would be unpriced below — require
+        # it to be noise (measured: zero)
+        unpriced = {k: sum(v[c]["bytes"] for c in v
+                           if c not in ("all-reduce", "all-gather",
+                                        "reduce-scatter"))
+                    for k, v in per_prog.items()}
+        assert max(unpriced.values()) < 0.01 * param_bytes, unpriced
 
-    comm_bytes = ar["cn_image"]
     compute_s = measured_ms / 1e3
     single_chip = measured_batch / compute_s
     proj = {}
     for eff_name, eff in (("optimistic", 1.0), ("realistic", 0.8)):
-        t_ar = ring_all_reduce_s(comm_bytes, efficiency=eff)
-        # bracket: grad all-reduce fully overlapped with backward
+        # all-reduce rides the ring twice, all-gather/reduce-scatter
+        # once each (for DP this reduces to the pure all-reduce term)
+        t_ar = (ring_all_reduce_s(ar["cn_image"], efficiency=eff)
+                + ring_one_pass_s(ag["cn_image"], efficiency=eff)
+                + ring_one_pass_s(rs["cn_image"], efficiency=eff))
+        # bracket: collectives fully overlapped with compute
         # (exposed 0) .. fully exposed (serial after the step)
         proj[eff_name] = {
-            "all_reduce_ms": round(t_ar * 1e3, 3),
+            "comm_ms": round(t_ar * 1e3, 3),
             "img_per_sec_chip_overlap": round(single_chip, 1),
             "img_per_sec_chip_serial": round(
                 measured_batch / (compute_s + t_ar), 1),
         }
 
     out = {
-        "model": f"flagship DP @ v5e-{N_DEVICES}"
+        "model": f"flagship {args.mapping.upper()} @ v5e-{N_DEVICES}"
                  + (" (2x4 torus)" if N_DEVICES == 8 else ""),
+        "mapping": args.mapping,
         "n_devices": N_DEVICES,
-        "per_step_all_reduce_bytes": comm_bytes,
+        "per_step_all_reduce_bytes": ar["cn_image"],
+        "per_step_all_gather_bytes": ag["cn_image"],
+        "per_step_reduce_scatter_bytes": rs["cn_image"],
         "param_bytes": param_bytes,
         "measured_single_chip_ms": measured_ms,
         "measured_from": measured_src,
@@ -177,7 +221,8 @@ def main():
         "assumptions": {
             "link_bw_bytes_per_s_per_direction": LINK_BW,
             "axes_used": 1,
-            "ring": "bidirectional, 2*(n-1)/n, conservative vs 2D torus",
+            "ring": "bidirectional; AR 2*(n-1)/n, AG/RS (n-1)/n; "
+                    "conservative vs 2D torus",
             "overlap": "bracketed [full .. none]",
         },
     }
