@@ -1,0 +1,137 @@
+"""Pipeline-parallel communication accounting from the compiled HLO.
+
+Same evidence style as the DP/FSDP rows in scripts/scaling_model.py:
+compile the GPipe demo (parallel/pipeline.py) over a ('stage',) mesh
+on virtual devices, read the per-step collective bytes out of the HLO,
+and sanity-check them against the analytic model:
+
+  * every collective-permute in the compiled program carries EXACTLY
+    one microbatch activation (mb * H * W * C * 4 bytes) — never the
+    full batch, never parameters (the schedule's key property);
+  * dynamic traffic = (M+S-1) ring hops x that payload forward, ~2x
+    with backward (the transpose is the reverse ring) — computed
+    analytically because XLA peels/unrolls the scan, so static HLO op
+    counts do not equal dynamic executions;
+  * bubble fraction = (S-1)/(M+S-1) (pipeline.py docstring)
+
+This is bookkeeping for the *schedule* (what crosses ICI per step),
+not a v5e throughput projection: the demo block is a toy-sized
+SelfNorm residual stack, so compute time is not the flagship's.  The
+point on real hardware: per-hop payload is ONE microbatch activation
+(vs DP's full grad tree), which is why pipeline wire time is
+negligible next to the 103 MB DP all-reduce for any realistic M.
+
+Usage: python scripts/pp_hlo_stats.py [--stages 4] [--microbatches 4]
+         [--out perf/pp_hlo_stats.jsonl]
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def _peek(flag, default):
+    for i, a in enumerate(sys.argv):
+        if a == flag and i + 1 < len(sys.argv):
+            return int(sys.argv[i + 1])
+        if a.startswith(flag + "="):
+            return int(a.split("=", 1)[1])
+    return default
+
+
+N_STAGES = _peek("--stages", 4)
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + f" --xla_force_host_platform_device_count={N_STAGES}")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from tp_hlo_stats import collective_counts  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stages", type=int, default=4)
+    ap.add_argument("--microbatches", type=int, default=4)
+    ap.add_argument("--layers", type=int, default=8)
+    ap.add_argument("--channels", type=int, default=16)
+    ap.add_argument("--hw", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--out", default="perf/pp_hlo_stats.jsonl")
+    args = ap.parse_args()
+    S, M = args.stages, args.microbatches
+
+    from cnsn_tpu.parallel import PipelineParallel, make_mesh
+    from cnsn_tpu.parallel.pipeline import (init_selfnorm_block,
+                                            pipeline_apply, selfnorm_block,
+                                            stack_layer_params)
+
+    mesh = make_mesh(S, ("stage",))
+    pp = PipelineParallel(mesh)
+    blocks = stack_layer_params(
+        [init_selfnorm_block(k, args.channels)
+         for k in jax.random.split(jax.random.key(0), args.layers)])
+    head = 0.1 * jax.random.normal(jax.random.key(1), (args.channels, 10))
+    x = jnp.asarray(np.random.RandomState(0).randn(
+        args.batch, args.hw, args.hw, args.channels).astype(np.float32))
+    y = jnp.asarray(np.random.RandomState(1).randint(0, 10, args.batch))
+
+    def loss(params, xx, yy):
+        h = pipeline_apply(selfnorm_block, params["blocks"], xx, mesh, M)
+        logits = jnp.mean(h, axis=(1, 2)) @ params["head"]
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(logp, yy[:, None], 1))
+
+    params = {"blocks": pp.shard_blocks(blocks), "head": pp.replicate(head)}
+    xx, yy = pp.replicate(x), pp.replicate(y)
+
+    rows = []
+    for name, fn in (("forward", jax.jit(loss)),
+                     ("train_step", jax.jit(jax.value_and_grad(loss)))):
+        compiled = fn.lower(params, xx, yy).compile()
+        cc = collective_counts(compiled.as_text())
+        mb_bytes = (args.batch // M) * args.hw * args.hw * args.channels * 4
+        ticks = M + S - 1
+        cp = cc["collective-permute"]
+        row = {
+            "program": name, "stages": S, "microbatches": M,
+            "layers": args.layers,
+            "static_collective_permute_ops": cp["count"],
+            "bytes_per_permute": (cp["bytes"] // cp["count"]
+                                  if cp["count"] else 0),
+            "microbatch_activation_bytes": mb_bytes,
+            "analytic_dynamic_forward_bytes": ticks * mb_bytes,
+            "bubble_fraction": round((S - 1) / ticks, 4),
+            "all_collectives": cc,
+        }
+        rows.append(row)
+        print(json.dumps(row))
+
+        # the schedule's key property: every ring hop moves exactly one
+        # microbatch activation — never the full batch, never params
+        assert cp["count"] >= 1, cc
+        assert cp["bytes"] == cp["count"] * mb_bytes, (cp, mb_bytes)
+        # beyond the ring, the only traffic is handing the drained
+        # outputs (M microbatches) to the demo's REPLICATED head — one
+        # all-gather of M*mb bytes — plus the head's O(params) grad
+        # all-reduce.  A production layout parks the head on the last
+        # stage and pays neither; bound it so layer params/activations
+        # never leak into cross-stage collectives.
+        other = sum(cc[k]["bytes"] for k in cc if k != "collective-permute")
+        assert other <= M * mb_bytes + 4096, cc
+
+    with open(args.out, "w") as f:
+        for row in rows:
+            f.write(json.dumps(row) + "\n")
+
+
+if __name__ == "__main__":
+    main()
