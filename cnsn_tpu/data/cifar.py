@@ -134,6 +134,19 @@ class CifarLoader:
         b = self.batch_size
         return n // b if self.drop_last else (n + b - 1) // b
 
+    def close(self):
+        """Shut down the worker pool (idempotent; iteration falls back
+        to the serial path afterwards).  Also a context manager."""
+        if self._pool is not None:
+            self._pool.close()
+            self._pool = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         rng = np.random.RandomState(self.seed + self.epoch * 1009)
         self.epoch += 1

@@ -126,6 +126,19 @@ class ImageNetLoader:
         n, b = len(self.data.samples), self.batch_size
         return n // b if self.drop_last else (n + b - 1) // b
 
+    def close(self):
+        """Shut down the worker pool (idempotent; iteration falls back
+        to the thread path afterwards).  Also a context manager."""
+        if self._pool is not None:
+            self._pool.close()
+            self._pool = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
     def _one_train(self, rng, path):
         img = random_resized_crop(rng, _decode(path), self.image_size)
         arr = np.asarray(img, np.uint8)

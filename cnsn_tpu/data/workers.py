@@ -6,18 +6,24 @@ A thread pool cannot reproduce that here: the AugMix op chain is
 GIL-bound Python/PIL, so threads serialize at ~1 core.  This module
 gives both host loaders the same process fan-out:
 
-* ``PrefetchPool`` — a persistent ``multiprocessing.Pool`` (fork on
-  Linux, like torch's DataLoader; override with CNSN_WORKER_START=spawn)
-  plus one-batch-ahead double buffering: batch k+1 is augmenting in the
+* ``PrefetchPool`` — a persistent ``multiprocessing.Pool`` plus
+  one-batch-ahead double buffering: batch k+1 is augmenting in the
   workers while the trainer consumes batch k.
 * Parity by construction: every image's view set is a pure function of
   ``(pixels-or-path, seed)``; the serial path and the pool path call
   the *same module-level function* with the *same per-image seeds*, so
   outputs are bit-identical (tested per-seed in tests/test_data.py).
 
-Workers only run numpy/PIL — they never touch jax — so forking after
-backend initialization is safe the same way torch DataLoader workers
-are.
+Start method: ``forkserver`` by default (override with
+CNSN_WORKER_START=fork|spawn).  Plain ``fork`` after the JAX backend
+(and the axon tunnel's HTTP-relay threads) has initialized can
+duplicate another thread's held lock into the child and deadlock it —
+even though the workers only run numpy/PIL, fork copies the lock state
+of *every* loaded threaded library.  Forkserver children descend from
+a clean single-threaded server process, so pool creation time no
+longer matters for safety; the pool is nevertheless created eagerly in
+``__init__`` (loader-construction time) so startup cost lands before
+the training loop, not inside its first step.
 """
 from __future__ import annotations
 
@@ -37,12 +43,13 @@ class PrefetchPool:
             raise ValueError("PrefetchPool needs num_workers > 0")
         self.num_workers = num_workers
         self._start = (start_method
-                       or os.environ.get("CNSN_WORKER_START", "fork"))
-        self._pool = None
+                       or os.environ.get("CNSN_WORKER_START", "forkserver"))
+        # eager: workers exist before the first batch is requested
+        self._pool = mp.get_context(self._start).Pool(self.num_workers)
 
     def _ensure(self):
         if self._pool is None:
-            self._pool = mp.get_context(self._start).Pool(self.num_workers)
+            raise RuntimeError("PrefetchPool used after close()")
         return self._pool
 
     def run(self, fn: Callable, batches: Iterable[Tuple[list, object]]

@@ -82,6 +82,12 @@ def pipeline_apply(block_fn: Callable[[Any, jax.Array], jax.Array],
     B = x.shape[0]
     if B % M != 0:
         raise ValueError(f"batch {B} not divisible by {M} microbatches")
+    if data_axis is not None:
+        d = mesh.shape[data_axis]
+        if (B // M) % d != 0:
+            raise ValueError(
+                f"microbatch size {B // M} (batch {B} / {M} microbatches) "
+                f"not divisible by mesh axis '{data_axis}' of size {d}")
     xs = x.reshape((M, B // M) + x.shape[1:])
 
     def per_stage(params_local, xs_local):

@@ -297,36 +297,46 @@ class Trainer:
             f.write(f"weight_decay: {cfg.weight_decay}\n")
             f.write("epoch\tlr\tTrain Loss\tTest Err1\tBest Test Err1\n")
 
-        for epoch in range(self.start_epoch, epochs):
-            self._epoch = epoch
-            lr = float(self.schedule(self.state.step))
-            t0 = time.time()
-            train_loss = self.train_epoch()
-            test_loss, test_acc = self.evaluate_clean()
-            is_best = test_acc > self.best_acc
-            self.best_acc = max(test_acc, self.best_acc)
+        try:
+            for epoch in range(self.start_epoch, epochs):
+                self._epoch = epoch
+                lr = float(self.schedule(self.state.step))
+                t0 = time.time()
+                train_loss = self.train_epoch()
+                test_loss, test_acc = self.evaluate_clean()
+                is_best = test_acc > self.best_acc
+                self.best_acc = max(test_acc, self.best_acc)
+                if self.ckpt is not None:
+                    # async: the save overlaps the next epoch's steps
+                    self.ckpt.save(int(jax.device_get(self.state.step)),
+                                   self.state,
+                                   extra={"epoch": epoch + 1,
+                                          "best_acc": self.best_acc},
+                                   metrics={"test_acc": float(test_acc)})
+                else:
+                    save_checkpoint(self.state, type(self.model).__name__,
+                                    self.exp_dir, epoch + 1, self.best_acc,
+                                    is_best,
+                                    keep_epoch_file=(cfg.dataset == "imagenet"))
+                with open(self.log_file, "a") as f:
+                    f.write(f"{epoch:d}\t{lr:g}\t{train_loss:2.2f}\t"
+                            f"{100 - 100. * test_acc:2.2f}\t"
+                            f"{100 - 100. * self.best_acc:2.2f}\n")
+                print(f"epoch {epoch}: loss {train_loss:.3f} "
+                      f"err {100 - 100. * test_acc:.2f} "
+                      f"({time.time() - t0:.1f}s)")
             if self.ckpt is not None:
-                # async: the save overlaps the next epoch's steps
-                self.ckpt.save(int(jax.device_get(self.state.step)),
-                               self.state,
-                               extra={"epoch": epoch + 1,
-                                      "best_acc": self.best_acc},
-                               metrics={"test_acc": float(test_acc)})
-            else:
-                save_checkpoint(self.state, type(self.model).__name__,
-                                self.exp_dir, epoch + 1, self.best_acc,
-                                is_best,
-                                keep_epoch_file=(cfg.dataset == "imagenet"))
-            with open(self.log_file, "a") as f:
-                f.write(f"{epoch:d}\t{lr:g}\t{train_loss:2.2f}\t"
-                        f"{100 - 100. * test_acc:2.2f}\t"
-                        f"{100 - 100. * self.best_acc:2.2f}\n")
-            print(f"epoch {epoch}: loss {train_loss:.3f} "
-                  f"err {100 - 100. * test_acc:.2f} "
-                  f"({time.time() - t0:.1f}s)")
-        if self.ckpt is not None:
-            self.ckpt.manager.wait_until_finished()
+                self.ckpt.manager.wait_until_finished()
+        finally:
+            self.close()
         return self.best_acc
+
+    def close(self):
+        """Tear down loader worker pools (idempotent)."""
+        for ld in (getattr(self, "train_loader", None),
+                   getattr(self, "test_loader", None)):
+            if ld is not None and hasattr(ld, "close"):
+                ld.close()
 
     def test_corruptions(self) -> float:
         cfg = self.cfg

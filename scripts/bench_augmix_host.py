@@ -38,8 +38,7 @@ def bench_cifar(workers, n_images=256, batch=64, seed=0):
         n = sum(x.shape[1] for x, _ in loader)
         dt = time.perf_counter() - t0
     finally:
-        if loader._pool is not None:
-            loader._pool.close()
+        loader.close()
     return 3 * n / dt  # 3 views per sample
 
 
@@ -65,8 +64,7 @@ def bench_imagenet(workers, n_images=64, batch=16, size=224, seed=0):
             n = sum(x.shape[1] for x, _ in loader)
             dt = time.perf_counter() - t0
         finally:
-            if loader._pool is not None:
-                loader._pool.close()
+            loader.close()
         return 3 * n / dt
     finally:
         shutil.rmtree(root, ignore_errors=True)

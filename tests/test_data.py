@@ -149,7 +149,7 @@ class TestAugmixWorkerPool:
                 assert np.array_equal(ya, yb)
                 assert np.array_equal(xa, xb)
         finally:
-            pooled._pool.close()
+            pooled.close()
 
     def test_cifar_pool_matches_serial_nojsd(self):
         data = load_cifar("/nonexistent", "cifar100", True, synthetic=True,
@@ -162,7 +162,7 @@ class TestAugmixWorkerPool:
                 assert np.array_equal(ya, yb)
                 assert np.array_equal(xa, xb)
         finally:
-            pooled._pool.close()
+            pooled.close()
 
     def test_cifar_pool_epochs_differ(self):
         data = load_cifar("/nonexistent", "cifar10", True, synthetic=True,
@@ -173,7 +173,7 @@ class TestAugmixWorkerPool:
             b = next(iter(pooled))[0]
             assert not np.array_equal(a, b)
         finally:
-            pooled._pool.close()
+            pooled.close()
 
     def test_imagenet_pool_matches_threads(self, tmp_path):
         rng = np.random.RandomState(0)
@@ -194,4 +194,4 @@ class TestAugmixWorkerPool:
                 assert np.array_equal(xa, xb)
                 assert xa.shape == (3, 4, 32, 32, 3)
         finally:
-            mp._pool.close()
+            mp.close()

@@ -129,3 +129,13 @@ def test_batch_must_divide_microbatches(blocks, x):
     mesh = make_mesh(4, ("stage",))
     with pytest.raises(ValueError, match="divisible"):
         pipeline_apply(selfnorm_block, blocks, x[:6], mesh, M)
+
+
+def test_microbatch_must_divide_data_axis(blocks, x):
+    """An invalid (microbatch size, data-axis extent) combination must
+    fail with a clear ValueError, not an opaque shard_map error."""
+    mesh = make_mesh(8, ("data", "stage"), (2, 4))
+    # B=8, M=8 → microbatch size 1, not divisible by data axis of 2
+    with pytest.raises(ValueError, match="mesh axis 'data'"):
+        pipeline_apply(selfnorm_block, blocks, x, mesh, 8,
+                       data_axis="data")

@@ -36,7 +36,9 @@ def test_metric_writer_tensorboard_mirror(tmp_path):
     """tensorboard=True mirrors scalars into TB event files readable by
     the standard loader (reference tensorboardX workflow,
     train_cnsn.py:372-376) while keeping the JSONL stream."""
-    pytest.importorskip("tensorboard")
+    # the module MetricWriter actually imports (an image can carry
+    # tensorboard but not torch, and vice versa)
+    pytest.importorskip("torch.utils.tensorboard")
     w = MetricWriter(str(tmp_path), tensorboard=True)
     w.scalar("mIoU_val", 0.42, 7)
     w.close()
