@@ -107,8 +107,8 @@ def conv_he_fanout(features: int, kernel: int, stride: int = 1,
     mode3 = os.environ.get("CNSN_CONV3X3", "conv")
     if (kernel == 3 and groups == 1 and mode3 != "conv"
             and isinstance(padding, int)):
-        wg = {"dot": "dot", "wgrad": "dot", "pallas": "pallas"}.get(
-            mode3, "auto")
+        wg = {"dot": "dot", "wgrad": "dot", "pallas": "pallas",
+              "pallas_tiled": "pallas_tiled"}.get(mode3, "auto")
         dg = "dot" if mode3 in ("dot", "dgrad") else "auto"
         return ConvCustomBwd(features, kernel, stride, padding,
                              wgrad=wg, dgrad=dg, dtype=dtype, name=name)

@@ -94,13 +94,20 @@ def _vjp_bwd(stride, padding, wgrad, dgrad, res, dy):
     x, k = res
 
     use_pallas = False
-    if wgrad == "pallas" and stride == 1 and k.shape[:2] == (3, 3):
+    if (wgrad in ("pallas", "pallas_tiled") and stride == 1
+            and k.shape[:2] == (3, 3)):
         from .pallas import pallas_dispatch
-        from .pallas.conv_wgrad import wgrad3x3_fits
         ok, interp = pallas_dispatch()
-        use_pallas = ok and wgrad3x3_fits(
-            x.shape[1], x.shape[2], x.shape[3], dy.shape[-1],
-            jnp.dtype(x.dtype).itemsize)
+        if wgrad == "pallas":
+            from .pallas.conv_wgrad import wgrad3x3_fits
+            use_pallas = ok and wgrad3x3_fits(
+                x.shape[1], x.shape[2], x.shape[3], dy.shape[-1],
+                jnp.dtype(x.dtype).itemsize)
+        else:
+            from .pallas.conv_wgrad import wgrad3x3_tile_plan
+            use_pallas = ok and wgrad3x3_tile_plan(
+                x.shape[0], x.shape[1], x.shape[2], x.shape[3],
+                dy.shape[-1], jnp.dtype(x.dtype).itemsize) is not None
 
     need_auto = (not use_pallas and wgrad != "dot") \
         or not (dgrad == "dot" and stride == 1)
@@ -109,7 +116,10 @@ def _vjp_bwd(stride, padding, wgrad, dgrad, res, dy):
             lambda x_, k_: _fwd_conv(x_, k_, stride, padding), x, k)
         dx_auto, dk_auto = pullback(dy)
 
-    if use_pallas:
+    if use_pallas and wgrad == "pallas_tiled":
+        from .pallas.conv_wgrad import wgrad3x3_tiled
+        dk = wgrad3x3_tiled(x, dy, padding, interp).astype(k.dtype)
+    elif use_pallas:
         from .pallas.conv_wgrad import wgrad3x3_pallas
         dk = wgrad3x3_pallas(x, dy, padding, interp).astype(k.dtype)
     elif wgrad == "dot":

@@ -23,8 +23,10 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["wgrad3x3_pallas", "wgrad3x3_fits"]
+__all__ = ["wgrad3x3_pallas", "wgrad3x3_fits",
+           "wgrad3x3_tiled", "wgrad3x3_tile_plan"]
 
 
 def wgrad3x3_fits(h: int, w: int, cin: int, cout: int,
@@ -53,6 +55,98 @@ def _kernel(xp_ref, dy_ref, out_ref, *, ho, wo, cin, cout):
                 preferred_element_type=jnp.float32)       # (cin, cout)
             t = kh * 3 + kw
             out_ref[t * cin:(t + 1) * cin, :] += acc
+
+
+def wgrad3x3_tile_plan(b: int, h: int, w: int, cin: int, cout: int,
+                       itemsize: int = 2,
+                       budget: int = 12 * 1024 * 1024):
+    """Pick ``(bt, cout_t)`` for the batch-tiled kernel, or None.
+
+    Preference order: the largest Cout tile first (each extra Cout tile
+    re-reads every x plane from HBM once), then the largest feasible
+    batch tile (bigger K = bt·Ho·Wo per MXU dot, fewer serial grid
+    steps).  Feasibility: double-buffered input blocks plus the
+    resident fp32 (9·Cin, Cout_t) output block inside the VMEM budget
+    (~16 MB/core on v5e; 12 MB leaves headroom for Mosaic's own
+    staging).  bt is capped at 32 — beyond that K growth is flat while
+    the grid loses the steps Mosaic needs to overlap HBM reads.
+    """
+    for cout_t in (c for c in (cout, 512, 256, 128)
+                   if c <= cout and cout % c == 0):
+        out_bytes = 9 * cin * cout_t * 4
+        per_img = ((h + 2) * (w + 2) * cin + h * w * cout_t) * itemsize
+        bt = max((d for d in range(1, min(b, 32) + 1) if b % d == 0
+                  and 2 * d * per_img + out_bytes <= budget),
+                 default=0)
+        if bt >= 2:
+            return bt, cout_t
+    return None
+
+
+def _tiled_kernel(xp_ref, dy_ref, out_ref, *, ho, wo, cin, cout_t, bt):
+    ib = pl.program_id(1)
+
+    @pl.when(ib == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    xp = xp_ref[...]                                  # (bt, ho+2, wo+2, cin)
+    dy = dy_ref[...].reshape(bt * ho * wo, cout_t)
+    for kh in range(3):
+        for kw in range(3):
+            xs = xp[:, kh:kh + ho, kw:kw + wo, :].reshape(bt * ho * wo, cin)
+            # native-dtype (bf16) MXU dot with fp32 accumulation — the
+            # one-image kernel's pre-cast to f32 forced f32 MXU passes
+            acc = jax.lax.dot_general(
+                xs, dy, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)   # (cin, cout_t)
+            t = kh * 3 + kw
+            out_ref[t * cin:(t + 1) * cin, :] += acc
+
+
+def wgrad3x3_tiled(x: jax.Array, dy: jax.Array, padding: int = 1,
+                   interpret: bool = False,
+                   plan=None) -> jax.Array:
+    """(B,H,W,Cin) x, (B,H,W,Cout) dy → (3,3,Cin,Cout) fp32 dW for the
+    3×3/s1/'same' conv — batch-tiled implicit GEMM.
+
+    The round-3 one-image kernel serialized B small-K matmuls (its own
+    post-mortem); this is the diagnosed fix: grid over
+    (Cout-tile, B-tile) with the B-tile folded into the dot's
+    contraction (K = bt·Ho·Wo) and the (9·Cin, Cout_t) fp32 block
+    accumulated across sequential B-tile steps
+    (dimension_semantics=('parallel', 'arbitrary') lets Mosaic pipeline
+    the HBM reads of the next B-tile against the current dots).
+    Reference conv semantics: torch Conv2d backward
+    (models/imagenet/resnet_cnsn.py convs); numerics vs jax autodiff in
+    tests/test_pallas_wgrad.py.
+    """
+    b, h, w, cin = x.shape
+    cout = dy.shape[-1]
+    assert dy.shape[:3] == (b, h, w), (x.shape, dy.shape)
+    if plan is None:
+        plan = wgrad3x3_tile_plan(b, h, w, cin, cout,
+                                  jnp.dtype(x.dtype).itemsize)
+    assert plan is not None, (x.shape, dy.shape)
+    bt, cout_t = plan
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_tiled_kernel, ho=h, wo=w, cin=cin,
+                          cout_t=cout_t, bt=bt),
+        grid=(cout // cout_t, b // bt),
+        in_specs=[
+            pl.BlockSpec((bt, h + 2 * padding, w + 2 * padding, cin),
+                         lambda j, i: (i, 0, 0, 0)),
+            pl.BlockSpec((bt, h, w, cout_t), lambda j, i: (i, 0, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((9 * cin, cout_t), lambda j, i: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((9 * cin, cout), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(xp, dy)
+    return out.reshape(3, 3, cin, cout)
 
 
 def wgrad3x3_pallas(x: jax.Array, dy: jax.Array, padding: int = 1,

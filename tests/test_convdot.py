@@ -100,3 +100,57 @@ def test_conv_custom_bwd_pallas_mode_end_to_end():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(dx_c), np.asarray(dx_r),
                                rtol=1e-5, atol=1e-5)
+
+def test_wgrad3x3_tiled_matches_autodiff():
+    """Batch-tiled implicit-GEMM Pallas wgrad (interpret mode on CPU)
+    vs autodiff, including a Cout-tiled plan."""
+    from cnsn_tpu.ops.pallas.conv_wgrad import wgrad3x3_tiled
+
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(4, 10, 12, 8).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 8, 16).astype(np.float32))
+    dy = jnp.asarray(rng.randn(4, 10, 12, 16).astype(np.float32))
+
+    _, pullback = jax.vjp(lambda k_: _fwd_conv(x, k_, 1, 1), k)
+    dk_ref = pullback(dy)[0]
+    for plan in ((2, 16), (4, 8), (2, 8)):
+        dk = wgrad3x3_tiled(x, dy, 1, interpret=True, plan=plan)
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref),
+                                   rtol=1e-4, atol=1e-4, err_msg=str(plan))
+
+
+def test_wgrad3x3_tile_plan():
+    """Plan picker: prefers the full Cout tile, tiles Cout only when
+    the fp32 output block forces it, and respects the VMEM budget."""
+    from cnsn_tpu.ops.pallas.conv_wgrad import wgrad3x3_tile_plan
+
+    # R50 layer1 shape: full cout, several images per tile
+    plan = wgrad3x3_tile_plan(128, 56, 56, 64, 64)
+    assert plan is not None and plan[1] == 64 and plan[0] >= 4
+    # R50 layer4 shape: the 9.4 MB fp32 (9*512, 512) block still fits
+    # whole (measured 11.6 MB total at bt=8)
+    plan = wgrad3x3_tile_plan(128, 7, 7, 512, 512)
+    assert plan == (8, 512), plan
+    # an 18.9 MB fp32 output block forces the Cout split
+    plan = wgrad3x3_tile_plan(128, 7, 7, 512, 1024)
+    assert plan is not None and plan[1] < 1024
+    bt, cout_t = plan
+    per_img = (9 * 9 * 512 + 7 * 7 * cout_t) * 2
+    assert 2 * bt * per_img + 9 * 512 * cout_t * 4 <= 12 * 1024 * 1024
+    # absurd shape: no feasible plan
+    assert wgrad3x3_tile_plan(2, 224, 224, 512, 512) is None
+
+
+def test_conv_custom_bwd_pallas_tiled_mode_end_to_end():
+    """wgrad='pallas_tiled' through the custom_vjp (interpret on CPU)."""
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(4, 8, 8, 4).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 4, 6).astype(np.float32))
+    ref = lambda x, k: _fwd_conv(x, k, 1, 1)
+    cus = lambda x, k: conv2d_custom_bwd(x, k, 1, 1, "pallas_tiled", "auto")
+    dx_r, dk_r = _loss_grads(ref, x, k)
+    dx_c, dk_c = _loss_grads(cus, x, k)
+    np.testing.assert_allclose(np.asarray(dk_c), np.asarray(dk_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dx_c), np.asarray(dx_r),
+                               rtol=1e-5, atol=1e-5)
