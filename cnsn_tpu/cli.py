@@ -157,8 +157,15 @@ def _export_main(args):
             state, _, _ = restore_state(cfg.resume, state)
             variables = {"params": state.params,
                          "batch_stats": state.batch_stats}
-        exported = export_classifier(model, variables, image_size,
-                                     platforms=platforms)
+        if args.pipeline_stages:
+            from .serving import export_pipelined_classifier
+            exported = export_pipelined_classifier(
+                model, variables, image_size, args.pipeline_stages,
+                num_microbatches=args.microbatches,
+                batch=args.export_batch, platforms=platforms)
+        else:
+            exported = export_classifier(model, variables, image_size,
+                                         platforms=platforms)
     save_artifact(exported, args.out)
     print(f"exported {args.out} ({os.path.getsize(args.out)} bytes, "
           f"platforms={list(exported.platforms)}, "
@@ -176,6 +183,17 @@ def main(argv=None):
                         help="output path for export/seg-export")
     parser.add_argument("--platforms", default=None,
                         help="comma list, e.g. tpu,cpu (default: current)")
+    parser.add_argument("--pipeline-stages", type=int, default=0,
+                        help="export: GPipe the eval forward over this "
+                             "many 'stage' mesh devices (ResNet models; "
+                             "serving needs that many devices)")
+    parser.add_argument("--microbatches", type=int, default=None,
+                        help="export: pipeline microbatch count "
+                             "(default: pipeline-stages)")
+    parser.add_argument("--export-batch", type=int, default=8,
+                        help="export: fixed batch for the pipelined "
+                             "artifact (plain export keeps the symbolic "
+                             "batch dim)")
     parser.add_argument("overrides", nargs="*",
                         help="key=value config overrides")
     args = parser.parse_args(argv)

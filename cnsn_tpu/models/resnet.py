@@ -20,7 +20,27 @@ from ..nn.cnsn import CNSN
 from ..nn.norm import BatchNorm
 from .common import S2DStem, conv_he_fanout, linear_torch_default
 
-__all__ = ["ResNet", "resnet50"]
+__all__ = ["ResNet", "ResNetStage", "block_plan", "resnet50"]
+
+
+def block_plan(layers: Sequence[int]):
+    """Static per-bottleneck construction plan shared by ``ResNet`` and
+    ``ResNetStage`` — one source of truth so a staged apply creates
+    submodules with byte-identical names/shapes to the monolithic
+    model (reference block layout: models/imagenet/resnet_cnsn.py
+    _make_layer calls at :229-244)."""
+    plan = []
+    inplanes = 64
+    for s, (planes, blocks) in enumerate(zip((64, 128, 256, 512), layers)):
+        stride = 1 if s == 0 else 2
+        for i in range(blocks):
+            blk_stride = stride if i == 0 else 1
+            has_ds = (i == 0) and (blk_stride != 1 or inplanes != planes * 4)
+            plan.append(dict(name=f"layer{s + 1}_{i}", inplanes=inplanes,
+                             planes=planes, stride=blk_stride,
+                             has_downsample=has_ds))
+            inplanes = planes * 4
+    return plan
 
 
 class Bottleneck(nn.Module):
@@ -122,26 +142,81 @@ class ResNet(nn.Module):
         # arg index 2 (flax counts self as 0)
         block_cls = (nn.remat(Bottleneck, static_argnums=(2,))
                      if self.remat else Bottleneck)
-        inplanes = 64
-        site = 0
-        for s, (planes, blocks) in enumerate(zip((64, 128, 256, 512), self.layers)):
-            stride = 1 if s == 0 else 2
-            for i in range(blocks):
-                blk_stride = stride if i == 0 else 1
-                has_ds = (i == 0) and (blk_stride != 1 or inplanes != planes * 4)
-                active = None if cn_active is None else cn_active[site]
-                x = block_cls(
-                    inplanes, planes, pos=self.pos, cnsn_type=self.cnsn_type,
-                    crop=self.crop, beta=self.beta, stride=blk_stride,
-                    has_downsample=has_ds, groups=self.groups,
-                    base_width=self.width_per_group,
-                    num_groups=self.num_groups, dtype=self.dtype,
-                    name=f"layer{s + 1}_{i}")(x, train, active)
-                inplanes = planes * 4
-                site += 1
+        for site, blk in enumerate(block_plan(self.layers)):
+            active = None if cn_active is None else cn_active[site]
+            x = block_cls(
+                blk["inplanes"], blk["planes"], pos=self.pos,
+                cnsn_type=self.cnsn_type, crop=self.crop, beta=self.beta,
+                stride=blk["stride"], has_downsample=blk["has_downsample"],
+                groups=self.groups, base_width=self.width_per_group,
+                num_groups=self.num_groups, dtype=self.dtype,
+                name=blk["name"])(x, train, active)
 
         x = jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d((1,1))
         return linear_torch_default(self.num_classes, dtype=self.dtype, name="fc")(x)
+
+
+class ResNetStage(nn.Module):
+    """Eval-forward slice of a ``ResNet``: bottlenecks ``[start, stop)``
+    of the SAME param tree (stem included when start == 0, pool + fc
+    when stop == total), applied with the monolithic model's variables
+    (flax ignores unused subtrees).  This is the stage unit for
+    pipeline-parallel serving (parallel/pipeline.py::pipeline_stages):
+    at eval, BN reads frozen running stats and CrossNorm is inactive,
+    so every per-sample computation is microbatch-invariant and the
+    pipelined forward equals the sequential one exactly
+    (tests/test_pipeline.py).  Submodule construction goes through the
+    shared ``block_plan`` so names/shapes are byte-identical to
+    ``ResNet.__call__``."""
+    start: int
+    stop: int
+    layers: Sequence[int] = (3, 4, 6, 3)
+    num_classes: int = 1000
+    groups: int = 1
+    width_per_group: int = 64
+    pos: Optional[str] = None
+    crop: str = "neither"
+    beta: float = 1.0
+    cnsn_type: Optional[str] = None
+    num_groups: int = 1
+    dtype: Any = None
+    stem: str = os.environ.get("CNSN_STEM", "s2d")
+
+    @classmethod
+    def from_model(cls, model: "ResNet", start: int, stop: int):
+        return cls(start=start, stop=stop, layers=model.layers,
+                   num_classes=model.num_classes, groups=model.groups,
+                   width_per_group=model.width_per_group, pos=model.pos,
+                   crop=model.crop, beta=model.beta,
+                   cnsn_type=model.cnsn_type, num_groups=model.num_groups,
+                   dtype=model.dtype, stem=model.stem)
+
+    @nn.compact
+    def __call__(self, x):
+        plan = block_plan(self.layers)
+        assert 0 <= self.start < self.stop <= len(plan)
+        if self.start == 0:
+            if self.stem == "s2d":
+                x = S2DStem(64, dtype=self.dtype, name="conv1")(x)
+            else:
+                x = conv_he_fanout(64, 7, 2, padding=3, dtype=self.dtype,
+                                   name="conv1")(x)
+            x = nn.relu(BatchNorm(64, name="bn1")(x, True))
+            x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)))
+        for blk in plan[self.start:self.stop]:
+            x = Bottleneck(
+                blk["inplanes"], blk["planes"], pos=self.pos,
+                cnsn_type=self.cnsn_type, crop=self.crop, beta=self.beta,
+                stride=blk["stride"], has_downsample=blk["has_downsample"],
+                groups=self.groups, base_width=self.width_per_group,
+                num_groups=self.num_groups, dtype=self.dtype,
+                name=blk["name"])(x, False, None)
+        if self.stop == len(plan):
+            x = jnp.mean(x, axis=(1, 2))
+            x = linear_torch_default(self.num_classes, dtype=self.dtype,
+                                     name="fc")(x)
+        return x
 
 
 def resnet50(num_classes: int = 1000, **kw) -> ResNet:

@@ -24,8 +24,8 @@ import jax
 import jax.numpy as jnp
 from jax import export as jexport
 
-__all__ = ["export_classifier", "export_segmenter", "save_artifact",
-           "load_artifact"]
+__all__ = ["export_classifier", "export_pipelined_classifier",
+           "export_segmenter", "save_artifact", "load_artifact"]
 
 
 def _export(fwd: Callable, spec: jax.ShapeDtypeStruct,
@@ -51,6 +51,45 @@ def export_classifier(model, variables, image_size: int,
 
     b = jexport.symbolic_shape("b")[0] if batch is None else batch
     spec = jax.ShapeDtypeStruct((b, image_size, image_size, 3), dtype)
+    return _export(fwd, spec, platforms)
+
+
+def export_pipelined_classifier(model, variables, image_size: int,
+                                num_stages: int,
+                                num_microbatches: Optional[int] = None,
+                                batch: int = 8,
+                                dtype: Any = jnp.float32,
+                                platforms: Optional[Sequence[str]] = None):
+    """Export the eval forward GPipe'd over a ``num_stages`` 'stage'
+    mesh (parallel/pipeline.py::pipeline_stages): bottleneck ranges
+    execute on their own mesh slices while microbatches stream through
+    the ppermute ring — depth-sharded serving instead of the
+    reference's whole-model-per-device replication (imagenet.py:533).
+
+    BN frozen + CrossNorm inactive + per-sample SelfNorm make every
+    stage microbatch-invariant, so the artifact's outputs equal the
+    unpipelined export exactly (tests/test_serving.py).  The batch is
+    fixed (the schedule reshapes into microbatches); serving the
+    artifact needs ``num_stages`` devices — call it under a jit whose
+    shardings supply the serving mesh, e.g.::
+
+        serve = load_artifact(path)
+        mesh = jax.sharding.Mesh(jax.devices()[:S], ("stage",))
+        logits = jax.jit(serve, in_shardings=NamedSharding(mesh, P()))(x)
+    """
+    from .parallel import pipeline_stages, resnet_stage_fns
+    from .parallel.mesh import make_mesh
+
+    M = num_microbatches or num_stages
+    if batch % M != 0:
+        raise ValueError(f"batch {batch} not divisible by {M} microbatches")
+    mesh = make_mesh(num_stages, ("stage",))
+    fns = resnet_stage_fns(model, num_stages)
+
+    def fwd(images):
+        return pipeline_stages(fns, variables, images, mesh, M)
+
+    spec = jax.ShapeDtypeStruct((batch, image_size, image_size, 3), dtype)
     return _export(fwd, spec, platforms)
 
 

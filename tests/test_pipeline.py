@@ -139,3 +139,71 @@ def test_microbatch_must_divide_data_axis(blocks, x):
     with pytest.raises(ValueError, match="mesh axis 'data'"):
         pipeline_apply(selfnorm_block, blocks, x, mesh, 8,
                        data_axis="data")
+
+
+class TestResNetPipeline:
+    """Heterogeneous-stage GPipe on the REAL flagship model: the
+    pipelined eval/serving forward must equal the sequential
+    model.apply exactly (BN frozen + CrossNorm inactive + per-sample
+    SelfNorm ⇒ every stage is microbatch-invariant)."""
+
+    @pytest.fixture(scope="class")
+    def model_and_vars(self):
+        from cnsn_tpu.models import build_model
+        model = build_model("resnet50", num_classes=12, pos="residual",
+                            cnsn_type="cnsn", crop="neither", beta=1.0)
+        x0 = jnp.zeros((2, 32, 32, 3), jnp.float32)
+        variables = model.init({"params": jax.random.key(0)}, x0, False,
+                               None)
+        return model, variables
+
+    def test_stage_chain_matches_model(self, model_and_vars):
+        """ResNetStage slices chained sequentially reproduce the
+        monolithic forward bit-exactly (same submodule names/params)."""
+        from cnsn_tpu.parallel import resnet_stage_fns
+        model, variables = model_and_vars
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(4, 32, 32, 3).astype(np.float32))
+        ref = model.apply(variables, x, False, None)
+        h = x
+        for f in resnet_stage_fns(model, 4):
+            h = f(variables, h)
+        np.testing.assert_array_equal(np.asarray(h), np.asarray(ref))
+
+    def test_pipelined_serving_forward_matches_sequential(
+            self, model_and_vars):
+        from cnsn_tpu.parallel import pipeline_stages, resnet_stage_fns
+        model, variables = model_and_vars
+        rng = np.random.RandomState(4)
+        x = jnp.asarray(rng.randn(8, 32, 32, 3).astype(np.float32))
+        ref = jax.jit(lambda v, xx: model.apply(v, xx, False, None))(
+            variables, x)
+        mesh = make_mesh(4, ("stage",))
+        fns = resnet_stage_fns(model, 4)
+        out = jax.jit(lambda v, xx: pipeline_stages(fns, v, xx, mesh, 4))(
+            variables, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=0, atol=1e-6)
+
+    def test_pipelined_composes_with_data_parallel(self, model_and_vars):
+        from cnsn_tpu.parallel import pipeline_stages, resnet_stage_fns
+        model, variables = model_and_vars
+        rng = np.random.RandomState(5)
+        x = jnp.asarray(rng.randn(8, 32, 32, 3).astype(np.float32))
+        ref = jax.jit(lambda v, xx: model.apply(v, xx, False, None))(
+            variables, x)
+        mesh = make_mesh(8, ("data", "stage"), (2, 4))
+        fns = resnet_stage_fns(model, 4)
+        out = jax.jit(lambda v, xx: pipeline_stages(
+            fns, v, xx, mesh, 4, data_axis="data"))(variables, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=0, atol=1e-6)
+
+    def test_stage_fn_count_must_match_mesh(self, model_and_vars):
+        from cnsn_tpu.parallel import pipeline_stages, resnet_stage_fns
+        model, variables = model_and_vars
+        mesh = make_mesh(4, ("stage",))
+        fns = resnet_stage_fns(model, 2)
+        with pytest.raises(ValueError, match="stage fns"):
+            pipeline_stages(fns, variables,
+                            jnp.zeros((8, 32, 32, 3)), mesh, 4)

@@ -90,3 +90,52 @@ def test_cli_export_smoke(tmp_path, capsys):
     serve = load_artifact(out)
     y = serve(jnp.zeros((2, 32, 32, 3)))
     assert y.shape == (2, 10)
+
+
+def test_pipelined_export_matches_plain(tmp_path):
+    """GPipe'd serving export (export_pipelined_classifier): the
+    4-stage pipelined artifact's logits equal the plain export's on
+    the same weights (BN frozen + per-sample SelfNorm ⇒ microbatch-
+    invariant), after a serialize/deserialize round-trip."""
+    from cnsn_tpu.serving import export_pipelined_classifier
+
+    model = build_model("resnet50", num_classes=7, pos="residual",
+                        cnsn_type="cnsn", crop="neither", beta=1.0)
+    x0 = jnp.zeros((1, 32, 32, 3))
+    variables = model.init({"params": jax.random.key(0)}, x0, False, None)
+    x = jnp.asarray(np.random.RandomState(0)
+                    .randn(8, 32, 32, 3).astype(np.float32))
+
+    plain = export_classifier(model, variables, 32)
+    piped = export_pipelined_classifier(model, variables, 32,
+                                        num_stages=4, batch=8)
+    path = str(tmp_path / "piped.shlo")
+    save_artifact(piped, path)
+    serve = load_artifact(path)
+    # a pipelined artifact runs under a num_stages-device context:
+    # jit with shardings over the serving mesh supplies it
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from cnsn_tpu.parallel import make_mesh
+    mesh = make_mesh(4, ("stage",))
+    y = jax.jit(serve,
+                in_shardings=NamedSharding(mesh, P()))(x)
+    np.testing.assert_allclose(np.asarray(y),
+                               np.asarray(plain.call(x)),
+                               rtol=0, atol=1e-6)
+
+
+def test_cli_pipelined_export_smoke(tmp_path, capsys):
+    from cnsn_tpu.cli import main
+    out = str(tmp_path / "p.shlo")
+    main(["export", "--config",
+          "cnsn_tpu/configs/imagenet/resnet50/cnsn.yaml",
+          "--out", out, "--pipeline-stages", "4", "--export-batch", "4",
+          "image_size=32"])
+    assert "exported" in capsys.readouterr().out
+    serve = load_artifact(out)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from cnsn_tpu.parallel import make_mesh
+    mesh = make_mesh(4, ("stage",))
+    y = jax.jit(serve, in_shardings=NamedSharding(mesh, P()))(
+        jnp.zeros((4, 32, 32, 3)))
+    assert y.shape[0] == 4
