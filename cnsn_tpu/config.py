@@ -66,6 +66,11 @@ class ExperimentConfig:
     mixture_depth: int = -1
     all_ops: bool = False
     ondevice_augmix: bool = False  # generate AugMix views on the TPU
+    # no_jsd: train on the single mixed AugMix view with plain CE —
+    # no (clean, aug1, aug2) triple, no JSD term (the reference ships
+    # the knob at utils.py:100-113 though its drivers pin it False).
+    # CIFAR host loader path only (data/cifar.py train_augmix_nojsd).
+    no_jsd: bool = False
 
     # runtime
     print_freq: int = 10

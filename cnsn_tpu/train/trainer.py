@@ -67,8 +67,14 @@ class Trainer:
             self.test_data = load_cifar(cfg.data_dir, cfg.dataset, False,
                                         synthetic=cfg.synthetic_data)
             if "augmix" in cfg.regime:
+                if cfg.no_jsd and cfg.ondevice_augmix:
+                    raise ValueError(
+                        "no_jsd uses the host single-view AugMix path "
+                        "(data/cifar.py train_augmix_nojsd); it does not "
+                        "compose with ondevice_augmix")
                 mode = ("train_geom" if cfg.ondevice_augmix
-                        else "train_augmix")
+                        else ("train_augmix_nojsd" if cfg.no_jsd
+                              else "train_augmix"))
             else:
                 mode = "train"
             self.train_loader = CifarLoader(
@@ -80,6 +86,9 @@ class Trainer:
             self.test_loader = CifarLoader(self.test_data,
                                            cfg.eval_batch_size, mode="eval")
         elif cfg.dataset == "imagenet":
+            if cfg.no_jsd:
+                raise ValueError("no_jsd is a CIFAR AugMix knob "
+                                 "(reference utils.py:100-113)")
             from ..data.imagenet import ImageNetLoader, scan_image_folder
             train_dir = os.path.join(cfg.data_dir, "train")
             val_dir = os.path.join(cfg.data_dir, "validation")
@@ -256,7 +265,12 @@ class Trainer:
             elif regime == "cn_consistency":
                 fn = self.steps.cn_consistency if gate else self.steps.plain
             elif regime == "cn_augmix":
-                fn = self.steps.augmix_cn if gate else self.steps.augmix
+                if cfg.no_jsd:
+                    # single mixed view, plain CE (+ the CN gate): the
+                    # 3-view JSD programs never run
+                    fn = self.steps.cn if gate else self.steps.plain
+                else:
+                    fn = self.steps.augmix_cn if gate else self.steps.augmix
             elif regime == "cn_image":
                 fn = self.steps.cn_image if gate else self.steps.plain
             elif regime == "cn_image_consist":

@@ -86,3 +86,25 @@ def test_imagenet_trainer_cn_image(fake_imagenet, tmp_path):
     assert np.isfinite(loss)
     tl, acc = t.evaluate_clean()
     assert 0.0 <= acc <= 1.0
+
+
+def test_cifar_trainer_augmix_nojsd(tmp_path):
+    """no_jsd=true: the loader yields the single mixed AugMix view
+    (B,H,W,C) and the epoch runs the plain-CE/cn steps — the reference
+    AugMixDataset no_jsd knob (utils.py:100-113) end to end."""
+    cfg = load_config("cnsn_tpu/configs/cifar10/allconv/cnsn-augmix.yaml",
+                      synthetic_data=True, epochs=1, batch_size=16,
+                      eval_batch_size=32, exp_dir=str(tmp_path),
+                      print_freq=100, no_jsd=True)
+    t = Trainer(cfg)
+    assert t.train_loader.mode == "train_augmix_nojsd"
+    loss = t.train_epoch()
+    assert np.isfinite(loss)
+
+
+def test_no_jsd_rejected_outside_cifar(tmp_path):
+    cfg = load_config("cnsn_tpu/configs/cifar10/allconv/cn.yaml",
+                      synthetic_data=True, dataset="imagenet",
+                      no_jsd=True, exp_dir=str(tmp_path))
+    with pytest.raises(ValueError, match="no_jsd"):
+        Trainer(cfg)
