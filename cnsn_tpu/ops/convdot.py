@@ -104,10 +104,13 @@ def _vjp_bwd(stride, padding, wgrad, dgrad, res, dy):
                 x.shape[1], x.shape[2], x.shape[3], dy.shape[-1],
                 jnp.dtype(x.dtype).itemsize)
         else:
-            from .pallas.conv_wgrad import wgrad3x3_tile_plan
-            use_pallas = ok and wgrad3x3_tile_plan(
+            # shape-gated: the batch-tiled kernel only where it beat
+            # the custom-call (wgrad3x3_tiled_wins); elsewhere the
+            # autodiff custom-call path below
+            from .pallas.conv_wgrad import wgrad3x3_tiled_wins
+            use_pallas = ok and wgrad3x3_tiled_wins(
                 x.shape[0], x.shape[1], x.shape[2], x.shape[3],
-                dy.shape[-1], jnp.dtype(x.dtype).itemsize) is not None
+                dy.shape[-1], jnp.dtype(x.dtype).itemsize)
 
     need_auto = (not use_pallas and wgrad != "dot") \
         or not (dgrad == "dot" and stride == 1)

@@ -19,6 +19,7 @@ convs); numerics tested against jax autodiff.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +27,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["wgrad3x3_pallas", "wgrad3x3_fits",
-           "wgrad3x3_tiled", "wgrad3x3_tile_plan"]
+           "wgrad3x3_tiled", "wgrad3x3_tile_plan", "wgrad3x3_tiled_wins"]
+
+
+def wgrad3x3_tiled_wins(b: int, h: int, w: int, cin: int, cout: int,
+                        itemsize: int = 2) -> bool:
+    """Measured-win shape class for the batch-tiled kernel on v5e
+    (perf/r5_wgrad_tiled.jsonl, b128 bf16 kernel-level A/B): the
+    small-spatial wide-channel planes — R50 layer4 (7x7, 512->512)
+    beat the conv-backward custom-call 1.675 vs 1.916 ms/call
+    (-12.6%); every larger-spatial plane lost (28^2: 2.115 vs 1.597)
+    and the 56^2/14^2 plans crashed the remote Mosaic compile.  The
+    CNSN_CONV3X3=pallas_tiled dispatch uses the kernel ONLY here and
+    keeps jax's custom-call gradient elsewhere.
+    CNSN_WGRAD_TILED_FORCE=1 drops the shape policy (test seam /
+    re-measurement on other chips) but keeps the feasibility plan."""
+    plan = wgrad3x3_tile_plan(b, h, w, cin, cout, itemsize)
+    if os.environ.get("CNSN_WGRAD_TILED_FORCE") == "1":
+        return plan is not None
+    return h * w <= 64 and min(cin, cout) >= 512 and plan is not None
 
 
 def wgrad3x3_fits(h: int, w: int, cin: int, cout: int,
@@ -59,7 +78,8 @@ def _kernel(xp_ref, dy_ref, out_ref, *, ho, wo, cin, cout):
 
 def wgrad3x3_tile_plan(b: int, h: int, w: int, cin: int, cout: int,
                        itemsize: int = 2,
-                       budget: int = 12 * 1024 * 1024):
+                       budget: int = 12 * 1024 * 1024,
+                       slice_budget: int = 1024 * 1024):
     """Pick ``(bt, cout_t)`` for the batch-tiled kernel, or None.
 
     Preference order: the largest Cout tile first (each extra Cout tile
@@ -68,15 +88,22 @@ def wgrad3x3_tile_plan(b: int, h: int, w: int, cin: int, cout: int,
     steps).  Feasibility: double-buffered input blocks plus the
     resident fp32 (9·Cin, Cout_t) output block inside the VMEM budget
     (~16 MB/core on v5e; 12 MB leaves headroom for Mosaic's own
-    staging).  bt is capped at 32 — beyond that K growth is flat while
-    the grid loses the steps Mosaic needs to overlap HBM reads.
+    staging), AND the merged (bt·Ho·Wo, C) tap-slice copies under
+    ``slice_budget`` — measured on v5e: 0.8 MB operand copies compile,
+    1.6 MB crash the Mosaic pipeline (layer1 bt=4 / layer2 bt=8 /
+    layer3 bt=16 all die in tpu_compile_helper; bt halved each
+    compiles and runs).  bt is capped at 32 — beyond that K growth is
+    flat while the grid loses the steps Mosaic needs to overlap HBM
+    reads.
     """
     for cout_t in (c for c in (cout, 512, 256, 128)
                    if c <= cout and cout % c == 0):
         out_bytes = 9 * cin * cout_t * 4
         per_img = ((h + 2) * (w + 2) * cin + h * w * cout_t) * itemsize
+        slice_per_img = h * w * max(cin, cout_t) * itemsize
         bt = max((d for d in range(1, min(b, 32) + 1) if b % d == 0
-                  and 2 * d * per_img + out_bytes <= budget),
+                  and 2 * d * per_img + out_bytes <= budget
+                  and d * slice_per_img <= slice_budget),
                  default=0)
         if bt >= 2:
             return bt, cout_t

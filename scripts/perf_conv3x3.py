@@ -19,6 +19,15 @@ MATRIX = [
 if os.environ.get("CONV3X3_WAVE") == "pallas":
     # wave 2: implicit-GEMM Pallas wgrad (ops/pallas/conv_wgrad.py)
     MATRIX = [("flagship_conv_pallas", {"CNSN_CONV3X3": "pallas"})]
+if os.environ.get("CONV3X3_WAVE") == "tiled":
+    # round-5: batch-tiled kernel, shape-gated to the measured-win
+    # class (layer4-class planes; wgrad3x3_tiled_wins) — same-session
+    # base for a clean delta
+    OUT = os.path.join(REPO, "perf", "r5_wgrad_tiled_e2e.jsonl")
+    MATRIX = [
+        ("flagship_conv_base_r5", {"CNSN_CONV3X3": "conv"}),
+        ("flagship_conv_pallas_tiled", {"CNSN_CONV3X3": "pallas_tiled"}),
+    ]
 
 def main():
     os.makedirs(os.path.dirname(OUT), exist_ok=True)

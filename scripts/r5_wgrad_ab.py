@@ -42,14 +42,15 @@ DTYPE = jnp.bfloat16
 
 
 def xla_wgrad(x, dy):
+    # same-dtype conv (the model's bf16 compute path); the transpose
+    # rule emits the conv-backward-filter custom-call this A/B targets
     def fwd(k):
         return lax.conv_general_dilated(
             x, k, (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
     k0 = jnp.zeros((3, 3, x.shape[-1], dy.shape[-1]), x.dtype)
     _, pb = jax.vjp(fwd, k0)
-    return pb(dy.astype(jnp.float32))[0].astype(jnp.float32)
+    return pb(dy.astype(x.dtype))[0].astype(jnp.float32)
 
 
 def timed(fn, x, dy, n=N):

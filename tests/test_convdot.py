@@ -124,9 +124,10 @@ def test_wgrad3x3_tile_plan():
     the fp32 output block forces it, and respects the VMEM budget."""
     from cnsn_tpu.ops.pallas.conv_wgrad import wgrad3x3_tile_plan
 
-    # R50 layer1 shape: full cout, several images per tile
+    # R50 layer1 shape: full cout; the 1 MB slice-copy cap (measured
+    # Mosaic crash boundary) holds bt to 2
     plan = wgrad3x3_tile_plan(128, 56, 56, 64, 64)
-    assert plan is not None and plan[1] == 64 and plan[0] >= 4
+    assert plan == (2, 64), plan
     # R50 layer4 shape: the 9.4 MB fp32 (9*512, 512) block still fits
     # whole (measured 11.6 MB total at bt=8)
     plan = wgrad3x3_tile_plan(128, 7, 7, 512, 512)
@@ -141,8 +142,11 @@ def test_wgrad3x3_tile_plan():
     assert wgrad3x3_tile_plan(2, 224, 224, 512, 512) is None
 
 
-def test_conv_custom_bwd_pallas_tiled_mode_end_to_end():
-    """wgrad='pallas_tiled' through the custom_vjp (interpret on CPU)."""
+def test_conv_custom_bwd_pallas_tiled_mode_end_to_end(monkeypatch):
+    """wgrad='pallas_tiled' through the custom_vjp (interpret on CPU).
+    The shape gate (wgrad3x3_tiled_wins) would route this small test
+    shape to the custom-call; force the kernel so it's exercised."""
+    monkeypatch.setenv("CNSN_WGRAD_TILED_FORCE", "1")
     rng = np.random.RandomState(7)
     x = jnp.asarray(rng.randn(4, 8, 8, 4).astype(np.float32))
     k = jnp.asarray(rng.randn(3, 3, 4, 6).astype(np.float32))
@@ -154,3 +158,14 @@ def test_conv_custom_bwd_pallas_tiled_mode_end_to_end():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(dx_c), np.asarray(dx_r),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_wgrad3x3_tiled_wins_gate():
+    """Dispatch policy: only the measured-win shape class (small
+    spatial, >=512 channels) routes to the batch-tiled kernel."""
+    from cnsn_tpu.ops.pallas.conv_wgrad import wgrad3x3_tiled_wins
+
+    assert wgrad3x3_tiled_wins(128, 7, 7, 512, 512)
+    assert not wgrad3x3_tiled_wins(128, 56, 56, 64, 64)
+    assert not wgrad3x3_tiled_wins(128, 28, 28, 128, 128)
+    assert not wgrad3x3_tiled_wins(128, 14, 14, 256, 256)
