@@ -78,7 +78,7 @@ class StepFns:
     def __init__(self, model, *, active_num: int = 1,
                  consist_wt: float = 0.0, image_crop: str = "neither",
                  image_beta: float = 1.0, num_groups: int = 1,
-                 donate: bool = False):
+                 jsd_wt: float = 12.0, donate: bool = False):
         self.model = model
         self.cn_num = getattr(model, "cn_num", 0)
         self.active_num = active_num
@@ -86,6 +86,9 @@ class StepFns:
         self.image_crop = image_crop
         self.image_beta = image_beta
         self.num_groups = num_groups
+        # AugMix JSD weight — the reference hardcodes 12 (cifar.py:246,
+        # imagenet.py:373); a knob here so harnesses can mutate it
+        self.jsd_wt = jsd_wt
 
         # donate=True invalidates the input state each call (use in the
         # steady-state train loop / bench for buffer reuse on HBM).
@@ -196,7 +199,7 @@ class StepFns:
             p_clean = softmax_probs(lc)
             jsd = jsd_consistency(p_clean, softmax_probs(l1),
                                   softmax_probs(l2))
-            loss = ce + 12.0 * jsd
+            loss = ce + self.jsd_wt * jsd
             if with_cn:
                 lcn1, stats = self._apply(params, stats, images3[0], mask1, k1f)
                 lcn2, stats = self._apply(params, stats, images3[0], mask2, k2f)
@@ -274,7 +277,7 @@ class StepFns:
             ce = cross_entropy(lc, labels)
             jsd = jsd_consistency(softmax_probs(lc), softmax_probs(l1),
                                   softmax_probs(l2))
-            loss = ce + 12.0 * jsd
+            loss = ce + self.jsd_wt * jsd
             return loss, (stats, lc, ce, jsd)
 
         (loss, (stats, logits, ce, jsd)), grads = jax.value_and_grad(

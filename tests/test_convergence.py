@@ -75,7 +75,22 @@ CONFIGS = {
                    ("jax", "pert", "mut_momentum", "mut_schedule")),
     "flagship": (100, 8, 64, 100, 0.02, 1e-4, 100, False,
                  (10, 25, 50, 100), ("jax", "pert")),
+    # AugMix+JSD regime (VERDICT r4 #2): the 12·JSD and consist_wt
+    # paths live — AllConv + 3-view concat forward + gated CN-JSD
+    # (reference cifar.py:211-272 train_cn_augmix; recipe knobs from
+    # cnsn-augmix.yaml: consist_wt 10, active_num 1).  mut_jsd halves
+    # the JSD weight (12 → 6) and must break the bounds.
+    "allconv_augmix_jsd": (60, 32, 32, 10, 0.03, 5e-4, 60, True,
+                           (10, 25, 40, 60),
+                           ("jax", "pert", "mut_jsd", "mut_schedule")),
 }
+
+# segmentation config (its own driver, _driver_seg_convergence): the
+# poly-LR state + 10x head groups + dual-head masked CE
+# (reference segmentation/tool/train_cnsn.py:282-385)
+SEG_CONFIG = dict(steps=50, batch=4, size=49, classes=19, base_lr=0.01,
+                  wd=1e-4, aux_w=0.4, mix_prob=0.5, eval_at=(10, 25, 50),
+                  arms=("jax", "pert", "mut_auxw", "mut_schedule"))
 
 PERTURB = 1e-6  # relative init perturbation for the noise-envelope arm
 
@@ -275,6 +290,8 @@ def _driver(which):
 
     (steps_n, batch, size, classes, lr, wd, total, nesterov,
      eval_at, jax_arms) = CONFIGS[which]
+    # manual smoke runs only (tests never set this)
+    steps_n = int(os.environ.get("CNSN_CONV_STEPS", steps_n))
 
     # ----- pinned randomness shared by every arm -----------------------
     # pairing permutation: roll-1 on both sides (reference randperm,
@@ -292,6 +309,7 @@ def _driver(which):
     # the cn step uses (steps.py _cn: k_mask = split(key_i)[0]), so the
     # torch arm follows the exact site sequence the jax arm samples
     allconv = which == "allconv_cn"
+    augmix = which == "allconv_augmix_jsd"
     if allconv:
         cn_num = 9
         sites = []
@@ -299,6 +317,17 @@ def _driver(which):
             k_mask = jax.random.split(jax.random.key(i))[0]
             m = np.asarray(sample_cn_mask(k_mask, cn_num, 1))
             sites.append(int(np.argmax(m)))
+    if augmix:
+        # steps.py _augmix_common with_cn: split(rng, 5) →
+        # (k1m, k1f, k2m, k2f, kc); masks from k1m / k2m
+        cn_num = 9
+        sites1, sites2 = [], []
+        for i in range(steps_n):
+            ks = jax.random.split(jax.random.key(i), 5)
+            sites1.append(int(np.argmax(
+                np.asarray(sample_cn_mask(ks[0], cn_num, 1)))))
+            sites2.append(int(np.argmax(
+                np.asarray(sample_cn_mask(ks[2], cn_num, 1)))))
 
     # ----- synthetic data: class-mean blobs (learnable) ----------------
     data_rng = np.random.RandomState(7)
@@ -309,14 +338,25 @@ def _driver(which):
         x = mu[y] + 0.7 * rng.randn(n, size, size, 3)
         return x.astype(np.float32), y.astype(np.int64)
 
-    batches = [make(data_rng, batch) for _ in range(steps_n)]
+    def make3(rng, n):
+        """3-view batch: (clean, aug1, aug2) share the class means but
+        carry independent noise — augmented-view statistics without
+        PIL (the AugMix op chain itself is pinned by the data tests;
+        here the JSD/consist math is the subject)."""
+        y = rng.randint(0, classes, n)
+        views = [mu[y] + 0.7 * rng.randn(n, size, size, 3)
+                 for _ in range(3)]
+        return np.stack(views).astype(np.float32), y.astype(np.int64)
+
+    batches = [(make3 if augmix else make)(data_rng, batch)
+               for _ in range(steps_n)]
     eval_rng = np.random.RandomState(11)
     eval_x, eval_y = make(eval_rng, 256)
 
     # ----- torch init (imported by every jax arm) ----------------------
     torch.manual_seed(0)
     with contextlib.redirect_stdout(io.StringIO()):
-        if allconv:
+        if allconv or augmix:
             from models.cifar.allconv_cnsn import AllConvNet as TorchAllConv
             t = TorchAllConv(classes, active_num=1, pos=1, beta=1.0,
                              crop="neither", cnsn_type="cn")
@@ -358,20 +398,22 @@ def _driver(which):
             allconv_mod.BatchNorm = cls
 
     def build_jax():
-        if allconv:
+        if allconv or augmix:
             return build_model("allconv", num_classes=classes, pos=1,
                                beta=1.0, crop="neither", cnsn_type="cn",
                                drop_rate=0.0)
         return build_model("resnet50", num_classes=classes, pos="post",
                            beta=1.0, crop="neither", cnsn_type="sn")
 
-    def run_jax_arm(momentum=None, frozen_lr=False, perturb=0.0):
+    def run_jax_arm(momentum=None, frozen_lr=False, perturb=0.0,
+                    jsd_wt=12.0):
         with bn_momentum(momentum):
-            return _run_jax_arm(frozen_lr=frozen_lr, perturb=perturb)
+            return _run_jax_arm(frozen_lr=frozen_lr, perturb=perturb,
+                                jsd_wt=jsd_wt)
 
-    def _run_jax_arm(frozen_lr=False, perturb=0.0):
+    def _run_jax_arm(frozen_lr=False, perturb=0.0, jsd_wt=12.0):
         model = build_jax()
-        x0 = jnp.asarray(batches[0][0])
+        x0 = jnp.asarray(batches[0][0][0] if augmix else batches[0][0])
         variables = model.init({"params": jax.random.key(0)}, x0, False, None)
         params, stats, missing = convert_state_dict(
             init_sd, dict(variables["params"]),
@@ -388,11 +430,16 @@ def _driver(which):
         state = state.replace(params=params, batch_stats=stats,
                               opt_state=tx.init(params))
         sfns = StepFns(model, active_num=1, image_crop="neither",
-                       image_beta=1.0)
-        aug_fn = sfns.cn if allconv else sfns.cn_image
+                       image_beta=1.0, jsd_wt=jsd_wt,
+                       consist_wt=10.0 if augmix else 0.0)
+        if augmix:
+            gated_fn, off_fn = sfns.augmix_cn, sfns.augmix
+        else:
+            gated_fn = sfns.cn if allconv else sfns.cn_image
+            off_fn = sfns.plain
         losses, evals = [], []
         for i, (x, y) in enumerate(batches):
-            fn = aug_fn if gates[i] else sfns.plain
+            fn = gated_fn if gates[i] else off_fn
             state, metrics = fn(state, jnp.asarray(x), jnp.asarray(y),
                                 jax.random.key(i))
             losses.append(float(metrics["loss"]))
@@ -412,7 +459,8 @@ def _driver(which):
     arms_train, arms_eval, arms_stats = {}, {}, {}
     arm_kw = {"jax": {}, "pert": {"perturb": PERTURB},
               "mut_momentum": {"momentum": 0.2},
-              "mut_schedule": {"frozen_lr": True}}
+              "mut_schedule": {"frozen_lr": True},
+              "mut_jsd": {"jsd_wt": 6.0}}
     for arm in jax_arms:
         import time
         t0 = time.time()
@@ -432,15 +480,43 @@ def _driver(which):
     t.train()
     t_losses, t_evals = [], []
     for i, (x, y) in enumerate(batches):
-        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
         yt = torch.from_numpy(y)
-        if gates[i]:
-            if allconv:
-                t.cn_modules[sites[i]].active = True
-            else:
-                xt = ref_cnsn.cn_op_2ins_space_chan(xt, crop="neither",
-                                                    beta=1)
-        loss = F.cross_entropy(t(xt), yt)
+        if augmix:
+            # reference train_cn_augmix (cifar.py:219-261): 3B-concat
+            # forward, CE(clean) + 12*JSD; gated: two armed CN forwards
+            # on the CLEAN view, + consist_wt * JSD(p_clean, p_cn1, p_cn2)
+            xt = torch.from_numpy(
+                x.reshape(-1, size, size, 3).transpose(0, 3, 1, 2))
+            logits_all = t(xt)
+            lc, l1, l2 = torch.split(logits_all, batch)
+            loss = F.cross_entropy(lc, yt)
+            p = [F.softmax(z, dim=1) for z in (lc, l1, l2)]
+            p_mix = torch.clamp((p[0] + p[1] + p[2]) / 3., 1e-7, 1).log()
+            loss = loss + 12. * (
+                F.kl_div(p_mix, p[0], reduction="batchmean")
+                + F.kl_div(p_mix, p[1], reduction="batchmean")
+                + F.kl_div(p_mix, p[2], reduction="batchmean")) / 3.
+            if gates[i]:
+                x_clean = torch.from_numpy(x[0].transpose(0, 3, 1, 2))
+                pcn = [p[0]]
+                for s in (sites1[i], sites2[i]):
+                    t.cn_modules[s].active = True  # self-resets on use
+                    pcn.append(F.softmax(t(x_clean), dim=1))
+                cn_mix = torch.clamp(
+                    (pcn[0] + pcn[1] + pcn[2]) / 3., 1e-7, 1).log()
+                loss = loss + 10.0 * (
+                    F.kl_div(cn_mix, pcn[0], reduction="batchmean")
+                    + F.kl_div(cn_mix, pcn[1], reduction="batchmean")
+                    + F.kl_div(cn_mix, pcn[2], reduction="batchmean")) / 3.
+        else:
+            xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+            if gates[i]:
+                if allconv:
+                    t.cn_modules[sites[i]].active = True
+                else:
+                    xt = ref_cnsn.cn_op_2ins_space_chan(xt, crop="neither",
+                                                        beta=1)
+            loss = F.cross_entropy(t(xt), yt)
         opt.zero_grad()
         loss.backward()
         opt.step()
@@ -464,7 +540,7 @@ def _driver(which):
 
     # ----- final running-stat trees vs the jax arm ---------------------
     model = build_jax()
-    x0 = jnp.asarray(batches[0][0])
+    x0 = jnp.asarray(batches[0][0][0] if augmix else batches[0][0])
     variables = model.init({"params": jax.random.key(0)}, x0, False, None)
     _, t_stats, _ = convert_state_dict(
         t.state_dict(), dict(variables["params"]),
@@ -493,5 +569,258 @@ def _driver(which):
                       "stats_relerr": rel}))
 
 
+def _driver_seg_convergence():
+    """f32 convergence lockstep for the segmentation recipe
+    (reference segmentation/tool/train_cnsn.py:282-385): dilated
+    CNSN trunk (cnsn_type=cnsn, cn_pos=post, crop=style) + dual FCN
+    heads, masked CE + aux_weight*CE_aux, SGD momentum 0.9 with the
+    poly schedule and 10x head groups — all through the PRODUCT path
+    (SegStepFns / make_seg_optimizer).  Arms: jax / pert (1e-6 init
+    perturbation) / mut_auxw (0.2 instead of 0.4) / mut_schedule
+    (poly power 0 = frozen LR; the real poly decays ~30x inside the
+    run) + the torch reference loop."""
+    import contextlib
+    import io
+    import time
+
+    import torch
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seg_ref = os.path.join(REFERENCE, "segmentation")
+    for p in (repo, seg_ref):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    from cnsn_tpu.segmentation import (SegStepFns, SegTrainState, fcn_cnsn,
+                                       make_seg_optimizer)
+    from cnsn_tpu.train.steps import sample_cn_mask
+    from cnsn_tpu.utils.torch_import import convert_state_dict
+
+    C = SEG_CONFIG
+    steps_n, batch, size, classes = (C["steps"], C["batch"], C["size"],
+                                     C["classes"])
+    # manual smoke runs only (tests never set this)
+    steps_n = int(os.environ.get("CNSN_CONV_STEPS", steps_n))
+    base_lr, wd, aux_w, eval_at = (C["base_lr"], C["wd"], C["aux_w"],
+                                   C["eval_at"])
+
+    # ----- pinned randomness (the f64 seg lockstep's recipe) -----------
+    import model.cnsn as seg_ref_cnsn
+    from cnsn_tpu.ops import bbox as bbox_mod
+    from cnsn_tpu.ops import crossnorm as cn_mod
+    perm = lambda n: (np.arange(n) + 1) % n
+    cn_mod.grouped_permutation = (
+        lambda key, n, num_groups=1: jnp.asarray(perm(n)))
+    torch.randperm = lambda n, **kw: torch.from_numpy(perm(n))
+    # one style box valid on both OS8 scales of 49² inputs (13² and 7²)
+    box = (1, 5, 0, 4)
+    bbox_mod.sample_bbox = lambda key, h, w, **kw: box
+    cn_mod.sample_bbox = bbox_mod.sample_bbox
+    seg_ref_cnsn.cn_rand_bbox = (
+        lambda sz, beta, bbx_thres: (box[0], box[2], box[1], box[3]))
+
+    # host mix_prob gate + per-step active-site replay from the REAL
+    # jax stream SegStepFns.aug consumes (k_mask = split(key_i)[0])
+    gates = np.random.RandomState(13).rand(steps_n) < C["mix_prob"]
+    cn_num = 16
+    sites = []
+    for i in range(steps_n):
+        k_mask = jax.random.split(jax.random.key(i))[0]
+        sites.append(int(np.argmax(
+            np.asarray(sample_cn_mask(k_mask, cn_num, 1)))))
+
+    # ----- learnable synthetic seg data: blocky label maps, pixels =
+    # class mean + noise; top rows are the ignore band ---------------
+    data_rng = np.random.RandomState(7)
+    mu = (data_rng.randn(classes, 3) * 1.2).astype(np.float32)
+
+    def make(rng, n):
+        yc = rng.randint(0, classes, (n, 7, 7))
+        y = np.kron(yc, np.ones((7, 7), np.int64))[:, :size, :size]
+        x = mu[y] + 0.7 * rng.randn(n, size, size, 3).astype(np.float32)
+        y[:, :5] = 255
+        return x.astype(np.float32), y
+
+    batches = [make(data_rng, batch) for _ in range(steps_n)]
+    eval_rng = np.random.RandomState(11)
+    eval_batches = [make(eval_rng, batch) for _ in range(2)]
+
+    # ----- torch reference model (init imported by every jax arm) ------
+    torch.manual_seed(0)
+    with contextlib.redirect_stdout(io.StringIO()):
+        import model.cnsn_resnet as cnsn_resnet
+        trunk = cnsn_resnet.resnet50(
+            pretrained=False, SN=True,
+            replace_stride_with_dilation=[False, True, True],
+            pos="residual", cn_pos="post", beta=1.0, block_idxs="1_2_3_4",
+            crop="style", cnsn_type="cnsn", active_num=1)
+
+    def head(cin):
+        torch.manual_seed(cin)
+        return torch.nn.Sequential(
+            torch.nn.Conv2d(cin, cin // 4, 3, padding=1, bias=False),
+            torch.nn.BatchNorm2d(cin // 4),
+            torch.nn.ReLU(),
+            torch.nn.Dropout(0.0),
+            torch.nn.Conv2d(cin // 4, classes, 1))
+
+    t_cls, t_aux = head(2048), head(1024)
+    init_trunk = {k: v.detach().clone() for k, v in trunk.state_dict().items()
+                  if not k.startswith("fc.")}
+    init_cls = {k: v.detach().clone() for k, v in t_cls.state_dict().items()}
+    init_aux = {k: v.detach().clone() for k, v in t_aux.state_dict().items()}
+
+    f = fcn_cnsn(classes=classes, block_idxs="1_2_3_4", pos="residual",
+                 cn_pos="post", cnsn_type="cnsn", crop="style", dropout=0.0)
+
+    def run_jax_arm(aux_weight=aux_w, power=0.9, perturb=0.0):
+        x0 = jnp.asarray(batches[0][0])
+        variables = f.init({"params": jax.random.key(0)}, x0, False,
+                           None, None)
+        params = dict(variables["params"])
+        stats = dict(variables["batch_stats"])
+        params, stats, missing = convert_state_dict(
+            init_trunk, params, stats, strict=True, prefix=("backbone",))
+        assert not missing, missing
+        head_map = {"0": "conv1", "1": "bn1", "4": "conv2"}
+        for sd, name in ((init_cls, "classifier"),
+                         (init_aux, "aux_classifier")):
+            params, stats, missing = convert_state_dict(
+                sd, params, stats, strict=True, prefix=(name,),
+                key_map=head_map)
+            assert not missing, missing
+        if perturb:
+            params = jax.tree.map(
+                lambda p: (np.asarray(p) * (1.0 + perturb)).astype(p.dtype),
+                params)
+        tx = make_seg_optimizer(params, base_lr, steps_n, power, 0.9, wd)
+        state = SegTrainState.create(apply_fn=f.apply, params=params,
+                                     batch_stats=stats, tx=tx)
+        sfns = SegStepFns(f, num_classes=classes, active_num=1,
+                          aux_weight=aux_weight)
+        losses, evals = [], []
+        for i, (x, y) in enumerate(batches):
+            fn = sfns.aug if gates[i] else sfns.plain
+            state, m = fn(state, jnp.asarray(x), jnp.asarray(y),
+                          jax.random.key(i))
+            losses.append(float(m["loss"]))
+            if (i + 1) in eval_at:
+                tl = ti = tt = tn = 0.0
+                for xe, ye in eval_batches:
+                    em = sfns.eval_step(state, jnp.asarray(xe),
+                                        jnp.asarray(ye))
+                    tl += float(em["loss"])
+                    ti += float(np.asarray(em["intersection"]).sum())
+                    tt += float(np.asarray(em["target"]).sum())
+                    tn += 1
+                evals.append([i + 1, tl / tn, ti / max(tt, 1)])
+        return losses, evals, jax.tree.map(np.asarray, state.batch_stats)
+
+    arms_train, arms_eval, arms_stats = {}, {}, {}
+    arm_kw = {"jax": {}, "pert": {"perturb": PERTURB},
+              "mut_auxw": {"aux_weight": 0.2},
+              "mut_schedule": {"power": 0.0}}
+    for arm in C["arms"]:
+        t0 = time.time()
+        arms_train[arm], arms_eval[arm], arms_stats[arm] = run_jax_arm(
+            **arm_kw[arm])
+        print(f"arm {arm}: {time.time() - t0:.0f}s", file=sys.stderr)
+
+    # ----- torch reference loop (train_cnsn.py:300-380) ----------------
+    F = torch.nn.functional
+    for m in (trunk, t_cls, t_aux):
+        m.train()
+    heads_params = list(t_cls.parameters()) + list(t_aux.parameters())
+    opt = torch.optim.SGD(
+        [{"params": list(trunk.parameters()), "lr": base_lr},
+         {"params": heads_params, "lr": base_lr * 10.0}],
+        lr=base_lr, momentum=0.9, weight_decay=wd)
+    up = lambda z: F.interpolate(z, size=(size, size), mode="bilinear",
+                                 align_corners=False)
+
+    def t_eval():
+        for m in (trunk, t_cls, t_aux):
+            m.eval()
+        tl = ti = tt = tn = 0.0
+        with torch.no_grad():
+            for xe, ye in eval_batches:
+                xt = torch.from_numpy(xe.transpose(0, 3, 1, 2))
+                yt = torch.from_numpy(ye)
+                logits = up(t_cls(trunk(xt)["out"]))
+                tl += F.cross_entropy(logits, yt, ignore_index=255).item()
+                pred = logits.argmax(1)
+                valid = yt != 255
+                ti += (pred[valid] == yt[valid]).sum().item()
+                tt += valid.sum().item()
+                tn += 1
+        for m in (trunk, t_cls, t_aux):
+            m.train()
+        return tl / tn, ti / max(tt, 1)
+
+    t_losses, t_evals = [], []
+    for i, (x, y) in enumerate(batches):
+        if gates[i]:
+            trunk.cn_modules[sites[i]].active = True  # self-resets
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        yt = torch.from_numpy(y)
+        feats = trunk(xt)
+        loss = (F.cross_entropy(up(t_cls(feats["out"])), yt,
+                                ignore_index=255)
+                + aux_w * F.cross_entropy(up(t_aux(feats["aux"])), yt,
+                                          ignore_index=255))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        # poly(i+1) assigned AFTER step(), effective next update
+        # (train_cnsn.py:319-349)
+        lr_i = base_lr * (1 - float(i + 1) / steps_n) ** 0.9
+        opt.param_groups[0]["lr"] = lr_i
+        opt.param_groups[1]["lr"] = lr_i * 10.0
+        t_losses.append(loss.item())
+        if (i + 1) in eval_at:
+            el, ea = t_eval()
+            t_evals.append([i + 1, el, ea])
+    arms_train["torch"], arms_eval["torch"] = t_losses, t_evals
+
+    # ----- final running-stat trees vs the jax arm ---------------------
+    variables = f.init({"params": jax.random.key(0)},
+                       jnp.asarray(batches[0][0]), False, None, None)
+    params0 = dict(variables["params"])
+    stats0 = dict(variables["batch_stats"])
+    sd = {k: v for k, v in trunk.state_dict().items()
+          if not k.startswith("fc.")}
+    _, t_stats, _ = convert_state_dict(sd, params0, stats0, strict=True,
+                                       prefix=("backbone",),
+                                       dtype=np.float64)
+    head_map = {"0": "conv1", "1": "bn1", "4": "conv2"}
+    for tm, name in ((t_cls, "classifier"), (t_aux, "aux_classifier")):
+        _, t_stats, _ = convert_state_dict(
+            tm.state_dict(), params0, t_stats, strict=True, prefix=(name,),
+            key_map=head_map, dtype=np.float64)
+
+    def stats_err(tree_a, tree_b):
+        out = 0.0
+        for a, b in zip(jax.tree.leaves(tree_a), jax.tree.leaves(tree_b)):
+            a = np.asarray(a, np.float64)
+            b = np.asarray(b, np.float64)
+            scale = max(np.sqrt(np.mean(b * b)), 1e-3)
+            out = max(out, float(np.max(np.abs(a - b))) / scale)
+        return out
+
+    rel = {"torch_vs_jax": stats_err(arms_stats["jax"], t_stats)}
+    for arm in C["arms"]:
+        if arm != "jax":
+            rel[arm + "_vs_jax"] = stats_err(arms_stats[arm],
+                                             arms_stats["jax"])
+
+    print(json.dumps({"train": arms_train, "eval": arms_eval,
+                      "stats_relerr": rel}))
+
+
 if __name__ == "__main__":
-    _driver(sys.argv[1])
+    if sys.argv[1] == "seg_fcn_cnsn":
+        _driver_seg_convergence()
+    else:
+        _driver(sys.argv[1])
