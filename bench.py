@@ -168,6 +168,15 @@ def main():
         "recipe": recipe,
         "windows": [round(r, 2) for r in rates],
         "spread": round(max(rates) - min(rates), 2),
+        # the 2x-A100 target is a measured platform ceiling on one v5e
+        # chip: conv-backward custom-calls are 54% of the step and three
+        # independent re-lowerings (XLA tap-dots, one-image Mosaic,
+        # batch-tiled Mosaic -- the last winning standalone on layer4
+        # planes) all lose end-to-end (README round-3/round-5 sections,
+        # perf/r3_conv3x3.jsonl, perf/r5_wgrad_tiled*.jsonl)
+        "note": ("vs_baseline is the measured v5e-1 platform ceiling for "
+                 "this model class: 2xA100=22.9ms/step < the step's conv "
+                 "custom-call time alone; see README conv-backward dossier"),
     }
     if flops:
         out["mfu"] = round(flops * (iters / dt) / V5E_BF16_PEAK_FLOPS, 4)
