@@ -21,6 +21,16 @@ BENCH_ITERS, BENCH_WARMUP, BENCH_DTYPE (bf16|fp32), BENCH_CNSN
 (cnsn|cn|sn|none — innet only), BENCH_REMAT, BENCH_REGIME (plain to
 force the plain step), BENCH_STEM (s2d for the space-to-depth stem).
 XLA_FLAGS passes through to the compiler.
+
+BENCH_INPUT=host runs the SAME timed loop fed by the real input
+pipeline instead of device-resident synthetic tensors: a synthetic
+JPEG ImageFolder on disk (scripts/make_bench_imagefolder.py, generated
+on first use under BENCH_DATA_DIR) -> ImageNetLoader with the native
+C++ decoder (csrc/loader.cc) at BENCH_INPUT_WORKERS threads ->
+utils/prefetch.device_prefetch staging host->device copies ahead of
+the step.  This is the reference's DataLoader-overlap claim
+(imagenet.py:482-505) measured end to end; the output carries an
+"input" block with the host-only decode rate for attribution.
 """
 import json
 import os
@@ -127,9 +137,16 @@ def main():
     keys = list(jax.random.split(key0, total))
     jax.block_until_ready(keys[-1])
 
+    feed = input_block = None
+    if os.environ.get("BENCH_INPUT") == "host":
+        feed, input_block = _host_input_feed(batch, size, total, iters)
+
     def run(i):
         fn = compiled_aug if gates[i] else compiled_plain
-        return fn(state, images, labels, keys[i])
+        if feed is None:
+            return fn(state, images, labels, keys[i])
+        imgs, lbls = next(feed)
+        return fn(state, imgs, lbls, keys[i])
 
     metrics = None
     for i in range(warmup):
@@ -180,7 +197,61 @@ def main():
     }
     if flops:
         out["mfu"] = round(flops * (iters / dt) / V5E_BF16_PEAK_FLOPS, 4)
+    if input_block is not None:
+        out["input"] = input_block
     print(json.dumps(out))
+
+
+def _host_input_feed(batch, size, total, iters):
+    """BENCH_INPUT=host: (iterator of device batches, attribution dict).
+
+    Builds the synthetic JPEG ImageFolder if missing, measures the
+    host-only decode rate over one window for attribution, then returns
+    an epoch-wrapping device_prefetch feed over
+    ImageNetLoader(native C++ decode) for the timed loop.
+    """
+    import time as _time
+
+    from cnsn_tpu.data.imagenet import ImageNetLoader, scan_image_folder
+    from cnsn_tpu.utils.prefetch import device_prefetch
+
+    root = os.environ.get("BENCH_DATA_DIR",
+                          "/root/repo/.bench_data/imagefolder")
+    workers = int(os.environ.get("BENCH_INPUT_WORKERS", "8"))
+    data = scan_image_folder(root) if os.path.isdir(root) else None
+    if data is None or not data.samples:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from make_bench_imagefolder import build
+        build(root)
+        data = scan_image_folder(root)
+    loader = ImageNetLoader(data, batch, mode="train", seed=0,
+                            image_size=size, workers=workers)
+    assert loader.use_native, "native C++ decoder unavailable"
+
+    # host-only rate over one window of batches (decode+crop+normalize,
+    # no device): the attribution number next to the end-to-end rate
+    it = iter(loader)
+    next(it)  # warm the page cache / thread pool
+    t0 = _time.perf_counter()
+    n_host = min(iters, len(loader) - 1)
+    for _ in range(n_host):
+        next(it)
+    host_rate = batch * n_host / (_time.perf_counter() - t0)
+
+    def batches():
+        while True:  # epoch-wrapping (reshuffles per epoch)
+            yield from loader
+
+    def put(item):
+        imgs, lbls = item
+        return jax.device_put(imgs), jax.device_put(lbls)
+
+    feed = device_prefetch(batches(), put, depth=2)
+    block = {"mode": "host", "workers": workers,
+             "dataset_images": len(data.samples),
+             "host_only_img_per_sec": round(host_rate, 1)}
+    return feed, block
 
 
 if __name__ == "__main__":
