@@ -15,6 +15,15 @@ Used by ops/convdot.py behind CNSN_CONV3X3=pallas (opt-in, A/B'd
 end-to-end before any default flips — the round-2 lesson).  Reference
 conv semantics: torch Conv2d backward (models/imagenet/resnet_cnsn.py
 convs); numerics tested against jax autodiff.
+
+Round-5 verdict (perf/r5_wgrad_tiled*.jsonl, README round-5 section):
+the batch-tiled variant below closes the serialization gap and WINS
+standalone on the layer4 shape class (−12.6%/call), but even
+shape-gated to exactly those planes it loses the flagship step
+end-to-end (2,286 vs 2,397 img/s) — the opaque custom-call breaks
+XLA's fusion/pipelining around each site by more than the kernel
+saves.  Both variants therefore stay opt-in; this file is the measured
+baseline for future tilings, not a shipping default.
 """
 from __future__ import annotations
 
