@@ -262,6 +262,84 @@ def test_flagship_torch_tracks_100_steps():
         rel["pert_vs_jax"], t["stats_floor"]), rel
 
 
+# MEASURED (perf/r5_convergence_augmix.json, the committed calibration
+# run): with the 12·JSD + consist_wt-10 paths live, torch's early
+# errors peak at 0.57x the max(8*env, 5e-3) bound over the 16-step
+# pre-chaos window (mut_jsd exceeds it at 5 steps, peaking 2.8x over;
+# mut_schedule at 2 steps, 3.8x over), late-30 mean gap 0.0015 (bound
+# 3*max(pert 0.0022, 0.02) = 0.06; mut_schedule measures 0.097 —
+# mut_jsd has NO late-mean power because the JSD term decays to ~0 as
+# the model converges, so its detectors are the early envelope and the
+# step-25 eval checkpoint), eval dloss <= 0.008 vs pert's 0.012 (bound
+# 4*max(pert, 0.012); mut_jsd measures 0.116 at step 25, mut_schedule
+# 0.298), eval dacc <= 0.062 (calibration bound only — pert's own acc
+# gaps are 0 and no mutation moves accuracy beyond 0.086 in this tame
+# regime), final-stats err 0.80 vs pert's own 0.47 (bound 3x; the
+# schedule mutation measures 2.47, above the bound, but the margin is
+# carried by the train/eval checks).
+AUGMIX = dict(c_early=8.0, floor_early=5e-3, ceil_early=0.01,
+              late_window=30, late_floor=0.02, late_c=3.0,
+              eval_c=4.0, eval_loss_floor=0.012, acc_c=4.0, acc_floor=0.03,
+              stats_c=3.0, stats_floor=0.05)
+
+
+def test_augmix_jsd_torch_tracks_60_steps():
+    """60 SGD steps of AllConv AugMix+JSD (3-view concat forward,
+    12*JSD consistency, gated CN-JSD at consist_wt 10 — the
+    cnsn-augmix.yaml recipe): torch stays inside the calibrated
+    reduction-noise bounds on all four statistics."""
+    rec = _rec("allconv_augmix_jsd")
+    t = AUGMIX
+    err, bound, n = _early_envelope(rec, "torch", t["c_early"],
+                                    t["floor_early"], t["ceil_early"])
+    assert n >= 10, f"early window collapsed to {n} steps"
+    assert (err <= bound).all(), (err, bound)
+
+    gap = _late_mean_gap(rec, "torch", t["late_window"])
+    pert_gap = _late_mean_gap(rec, "pert", t["late_window"])
+    assert gap <= t["late_c"] * max(pert_gap, t["late_floor"]), (
+        gap, pert_gap)
+
+    d = _eval_gaps(rec, "torch")
+    dp = _eval_gaps(rec, "pert")
+    loss_bound = t["eval_c"] * np.maximum(dp[:, 0], t["eval_loss_floor"])
+    assert (d[:, 0] <= loss_bound).all(), (d, loss_bound)
+    acc_bound = t["acc_c"] * np.maximum(dp[:, 1], t["acc_floor"])
+    assert (d[:, 1] <= acc_bound).all(), (d, acc_bound)
+
+    rel = rec["stats_relerr"]
+    assert rel["torch_vs_jax"] <= t["stats_c"] * max(
+        rel["pert_vs_jax"], t["stats_floor"]), rel
+
+
+def test_augmix_jsd_mutations_break_the_bounds():
+    """The bounds bite: halving the JSD weight (6 vs the reference's
+    hardcoded 12, cifar.py:235) must break the early envelope AND the
+    eval-loss checkpoints (its late-mean power is nil — the JSD term
+    decays to ~0 as training converges, so a weight change leaves the
+    late train loss untouched; the eval checkpoints catch what the
+    trained weights absorbed).  The frozen-LR mutation must break the
+    early envelope and the late-window mean."""
+    rec = _rec("allconv_augmix_jsd")
+    t = AUGMIX
+
+    err, bound, _ = _early_envelope(rec, "mut_jsd", t["c_early"],
+                                    t["floor_early"], t["ceil_early"])
+    assert (err > bound).any(), (err, bound)
+    d = _eval_gaps(rec, "mut_jsd")
+    dp = _eval_gaps(rec, "pert")
+    loss_bound = t["eval_c"] * np.maximum(dp[:, 0], t["eval_loss_floor"])
+    assert (d[:, 0] > loss_bound).any(), (d, loss_bound)
+
+    err, bound, _ = _early_envelope(rec, "mut_schedule", t["c_early"],
+                                    t["floor_early"], t["ceil_early"])
+    assert (err > bound).any(), (err, bound)
+    gap = _late_mean_gap(rec, "mut_schedule", t["late_window"])
+    pert_gap = _late_mean_gap(rec, "pert", t["late_window"])
+    assert gap > t["late_c"] * max(pert_gap, t["late_floor"]), (
+        gap, pert_gap)
+
+
 # ---------------------------------------------------------------------------
 # subprocess driver
 # ---------------------------------------------------------------------------
