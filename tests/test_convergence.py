@@ -41,11 +41,16 @@ the same code paths (same step fns, same CN gates/sites, same
 schedule/optimizer machinery) while leaving chaos slow enough that a
 real semantic bug clears the noise floor by orders of magnitude.
 
-Regimes: the minimum end-to-end slice — AllConvNet+CrossNorm CIFAR-10
-(reference cifar10-scripts/allconv/run-cn.sh via cifar.py:117-145
-train_cn, host Bernoulli(0.5) gate, per-step active-site draws
-replayed from the real jax RNG stream) — and a flagship-shaped config
-(ResNet-50 + in-network SN + image-space CN, imagenet.py:195-250).
+Regimes (the full training-loop surface, VERDICT r4 #2): the minimum
+end-to-end slice — AllConvNet+CrossNorm CIFAR-10 (reference
+cifar10-scripts/allconv/run-cn.sh via cifar.py:117-145 train_cn, host
+Bernoulli(0.5) gate, per-step active-site draws replayed from the real
+jax RNG stream) — a flagship-shaped config (ResNet-50 + in-network SN
++ image-space CN, imagenet.py:195-250), the AugMix+JSD consistency
+regime (3-view concat forward, 12·JSD + gated consist_wt CN-JSD,
+cifar.py:211-272), and the segmentation recipe (dilated CNSN trunk +
+dual FCN heads, poly LR + 10x head groups + masked CE,
+segmentation/tool/train_cnsn.py:282-385).
 Dropout runs at 0 on both sides (mask RNGs are not comparable across
 frameworks); pairing permutations are pinned to roll-1 on both sides.
 
@@ -338,6 +343,84 @@ def test_augmix_jsd_mutations_break_the_bounds():
     pert_gap = _late_mean_gap(rec, "pert", t["late_window"])
     assert gap > t["late_c"] * max(pert_gap, t["late_floor"]), (
         gap, pert_gap)
+
+
+# MEASURED (perf/r5_convergence_seg.json, the committed calibration
+# run): the dilated-trunk regime is more chaotic than the classifiers
+# (env reaches 2.7e-2 by step 10), so the early window closes at
+# ceil 0.05 with 10 steps; torch's early errors peak at 0.40x the
+# max(6*env, 0.01) bound (mut_auxw exceeds it at every window step,
+# peaking 60x over — halving aux_weight shifts the composite loss
+# directly), late-10 mean gap 0.0045 vs pert's 0.0029 (bound
+# 3*max(pert, 5e-3) = 0.015; mut_schedule measures 0.063 — the frozen
+# poly LR bites only in the last steps, where the real schedule has
+# decayed ~30x, so the LATE window is its detector, not the early
+# envelope where it peaks at just 0.33x the bound).  Eval CE during
+# BN warmup is chaos-dominated (pert's own dloss reaches 1.04 at step
+# 10), so eval loss compares on log10 (torch |dlog10| <= 0.22 vs
+# pert's 0.078; bound 8*max(pert, 0.1)) and pixel-acc within
+# 4*max(pert, 0.03) — calibration bounds only, like the flagship.
+# Final running stats are fully chaos-dominated at 50 steps (pert's
+# own relerr 3.39 vs torch's 3.43): calibration bound only.
+SEG = dict(c_early=6.0, floor_early=0.01, ceil_early=0.05,
+           late_window=10, late_floor=5e-3, late_c=3.0,
+           eval_log_c=8.0, eval_log_floor=0.1, acc_c=4.0, acc_floor=0.03,
+           stats_c=3.0, stats_floor=0.05)
+
+
+def test_seg_torch_tracks_50_steps():
+    """50 SGD steps of the segmentation recipe (dilated CNSN trunk +
+    dual FCN heads, masked CE + aux_weight*CE_aux, poly LR with 10x
+    head groups — train_cnsn.py:282-385): torch stays inside the
+    calibrated reduction-noise bounds."""
+    rec = _rec("seg_fcn_cnsn")
+    t = SEG
+    err, bound, n = _early_envelope(rec, "torch", t["c_early"],
+                                    t["floor_early"], t["ceil_early"])
+    assert n >= 10, f"early window collapsed to {n} steps"
+    assert (err <= bound).all(), (err, bound)
+
+    gap = _late_mean_gap(rec, "torch", t["late_window"])
+    pert_gap = _late_mean_gap(rec, "pert", t["late_window"])
+    assert gap <= t["late_c"] * max(pert_gap, t["late_floor"]), (
+        gap, pert_gap)
+
+    d = _eval_gaps(rec, "torch")
+    dp = _eval_gaps(rec, "pert")
+    jl = np.asarray(rec["eval"]["jax"], float)[:, 1]
+    tl = np.asarray(rec["eval"]["torch"], float)[:, 1]
+    pl = np.asarray(rec["eval"]["pert"], float)[:, 1]
+    dlog = np.abs(np.log10(tl) - np.log10(jl))
+    dlog_p = np.abs(np.log10(pl) - np.log10(jl))
+    assert np.isfinite(dlog).all(), (tl, jl)
+    bound = t["eval_log_c"] * np.maximum(dlog_p, t["eval_log_floor"])
+    assert (dlog <= bound).all(), (dlog, bound)
+    acc_bound = t["acc_c"] * np.maximum(dp[:, 1], t["acc_floor"])
+    assert (d[:, 1] <= acc_bound).all(), (d, acc_bound)
+
+    rel = rec["stats_relerr"]
+    assert rel["torch_vs_jax"] <= t["stats_c"] * max(
+        rel["pert_vs_jax"], t["stats_floor"]), rel
+
+
+def test_seg_mutations_break_the_bounds():
+    """The bounds bite: aux_weight 0.2 (vs the recipe's 0.4,
+    train_cnsn.py config) must break the early envelope (it shifts
+    the composite loss directly, 60x over the bound) and the
+    late-window mean; the frozen poly schedule (power 0) must break
+    the late-window mean — by the last 10 steps the real poly LR has
+    decayed ~30x, so freezing it measures 14x the tracking arm's
+    gap."""
+    rec = _rec("seg_fcn_cnsn")
+    t = SEG
+
+    err, bound, _ = _early_envelope(rec, "mut_auxw", t["c_early"],
+                                    t["floor_early"], t["ceil_early"])
+    assert (err > bound).any(), (err, bound)
+    pert_gap = _late_mean_gap(rec, "pert", t["late_window"])
+    late_bound = t["late_c"] * max(pert_gap, t["late_floor"])
+    assert _late_mean_gap(rec, "mut_auxw", t["late_window"]) > late_bound
+    assert _late_mean_gap(rec, "mut_schedule", t["late_window"]) > late_bound
 
 
 # ---------------------------------------------------------------------------
