@@ -251,7 +251,12 @@ def resnet_stage_fns(model, num_stages: int):
     bottleneck ranges (stem rides stage 0, pool+fc the last) balanced
     by block count, returning ``pipeline_stages``-shaped closures.
     Eval forward only — the serving path (serving.py exports)."""
-    from ..models.resnet import ResNetStage, block_plan
+    from ..models.resnet import ResNet, ResNetStage, block_plan
+    if not isinstance(model, ResNet):
+        raise ValueError(
+            f"pipelined serving stages are implemented for models.resnet."
+            f"ResNet (got {type(model).__name__}); export the plain "
+            f"artifact for other families")
     n = len(block_plan(model.layers))
     if num_stages < 1 or num_stages > n:
         raise ValueError(f"num_stages={num_stages} for {n} blocks")

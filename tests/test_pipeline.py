@@ -199,6 +199,15 @@ class TestResNetPipeline:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=0, atol=1e-6)
 
+    def test_stage_fns_reject_non_resnet(self):
+        """Families without a staged apply get a clear error, not an
+        AttributeError from from_model (IBN lacks groups/width)."""
+        from cnsn_tpu.models import build_model
+        from cnsn_tpu.parallel import resnet_stage_fns
+        model = build_model("resnet50_ibn_b", num_classes=12)
+        with pytest.raises(ValueError, match="ResNet"):
+            resnet_stage_fns(model, 4)
+
     def test_stage_fn_count_must_match_mesh(self, model_and_vars):
         from cnsn_tpu.parallel import pipeline_stages, resnet_stage_fns
         model, variables = model_and_vars
